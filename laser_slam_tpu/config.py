@@ -1,0 +1,208 @@
+"""Configuration dataclasses for the TPU-native laser SLAM framework.
+
+One coherent config tree replaces the reference's three config tiers
+(ROS param server structs, libpointmatcher ICP YAML, launch args — see
+laser_slam_ros/include/laser_slam_ros/common.hpp:57-157,
+laser_slam/include/laser_slam/parameters.hpp:8-34,
+laser_slam/configurations/icp_default.yaml).  Everything can be loaded from
+a single YAML file via :func:`load_config`.
+
+Static-shape capacities (``*_capacity``) have no reference equivalent: they
+exist because XLA compiles fixed shapes; growing state re-buckets to the
+next power of two.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class InputFilterConfig:
+    """Tensorized input filter chain applied to every incoming scan.
+
+    Replaces the libpointmatcher DataPointsFilters loaded from
+    ``icp_input_filters_file`` (laser_track.cpp:24-30,146).  Filters run in
+    order: range gate -> random sampling -> pad/truncate to capacity.
+    """
+    min_distance_m: float = 1.0          # drop self-hits near the sensor
+    max_distance_m: float = 70.0         # drop far returns
+    random_sampling_ratio: float = 1.0   # keep probability before padding
+    scan_capacity: int = 16384           # fixed point budget per stored scan
+
+
+@dataclass(frozen=True)
+class IcpConfig:
+    """Point-to-plane ICP pipeline configuration.
+
+    Mirrors laser_slam/configurations/icp_default.yaml: reading random
+    sampling (prob 0.5), reference surface normals (knn 10), NN matcher
+    (knn 1), trimmed-distance outlier filter (ratio 0.75), point-to-plane
+    minimizer, counter (40) + differential (0.001/0.01, smooth 4) checkers.
+    """
+    reading_sampling_ratio: float = 0.5
+    reading_capacity: int = 8192          # reading points after sampling
+    normal_knn: int = 10
+    max_iterations: int = 40
+    trimmed_dist_ratio: float = 0.75
+    min_diff_rot: float = 0.001
+    min_diff_trans: float = 0.01
+    smooth_length: int = 4
+    # Correspondence engine: 'brute' = exact MXU-tiled NN (kd-tree parity),
+    # 'grid' = voxel-hash approximate NN (faster for big submaps).
+    matcher: str = 'brute'
+    grid_cell_size_m: float = 1.0
+    grid_cell_capacity: int = 16
+    max_correspondence_dist_m: float = 3.0
+
+
+@dataclass(frozen=True)
+class LaserTrackConfig:
+    """Per-track front-end parameters.
+
+    Mirrors ``LaserTrackParams`` (parameters.hpp:8-23).  Noise sigmas are
+    6-vectors ordered [rot(3) rad, trans(3) m] as in
+    config_example.yaml:4-6.
+    """
+    odometry_noise_model: Tuple[float, ...] = (0.005, 0.005, 0.005,
+                                               0.0015, 0.0015, 0.0015)
+    icp_noise_model: Tuple[float, ...] = (0.005, 0.005, 0.005,
+                                          0.0015, 0.0015, 0.0015)
+    add_m_estimator_on_odom: bool = False
+    add_m_estimator_on_icp: bool = True
+    use_icp_factors: bool = True
+    use_odom_factors: bool = True
+    nscan_in_sub_map: int = 5            # scan-to-submap window (laser_track.cpp:478)
+    save_icp_results: bool = False
+    force_priors: bool = False
+    # kDistanceBetweenPriorPoses_m (laser_track.hpp:235): forced priors place
+    # track i at y = i * this.
+    distance_between_prior_poses_m: float = 100.0
+    icp: IcpConfig = field(default_factory=IcpConfig)
+    input_filters: InputFilterConfig = field(default_factory=InputFilterConfig)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Incremental Gauss-Newton/PCG pose-graph solver parameters.
+
+    TPU-native replacement for GTSAM iSAM2 (incremental_estimator.cpp:17-20:
+    relinearizeSkip=1, threshold=0.001, 3x update per scan).  The 3 GN
+    iterations mirror the reference's 3 ``isam2_.update()`` calls.
+    """
+    gn_iterations: int = 3
+    pcg_iterations: int = 32
+    pcg_tolerance: float = 1e-7
+    damping: float = 1e-6
+    pose_capacity: int = 1024            # initial key budget; doubles on overflow
+    factor_capacity: int = 4096          # initial factor budget
+    cauchy_k: float = 1.0                # mEstimator::Cauchy::Create(1)
+    dtype: str = 'float32'
+
+
+@dataclass(frozen=True)
+class EstimatorConfig:
+    """Global back-end parameters.
+
+    Mirrors ``EstimatorParams`` (parameters.hpp:25-34) plus the iSAM2
+    replacement solver config.
+    """
+    loop_closure_noise_model: Tuple[float, ...] = (0.005, 0.005, 0.005,
+                                                   0.0015, 0.0015, 0.0015)
+    add_m_estimator_on_loop_closures: bool = True
+    do_icp_step_on_loop_closures: bool = True
+    loop_closures_sub_maps_radius: int = 3
+    # First-association noise sigmas (incremental_estimator.cpp:40-48).
+    first_association_noise_model: Tuple[float, ...] = (0.05, 0.05, 0.05,
+                                                        0.015, 0.015, 0.015)
+    # Prior sigma on the first node of each track (laser_track.cpp:56-64).
+    prior_noise_sigma: float = 1e-7
+    laser_track: LaserTrackConfig = field(default_factory=LaserTrackConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+
+
+@dataclass(frozen=True)
+class WorkerConfig:
+    """Online orchestrator parameters.
+
+    Mirrors ``LaserSlamWorkerParams`` (laser_slam_ros/common.hpp:20-55)
+    minus ROS frames/topics, which are replaced by the in-process stream API.
+    """
+    distance_to_consider_fixed: float = 60.0
+    separate_distant_map: bool = True
+    create_filtered_map: bool = True
+    minimum_distance_to_add_pose: float = 1.0
+    voxel_size_m: float = 0.1
+    minimum_point_number_per_voxel: int = 1
+    remove_ground_from_local_map: bool = False
+    ground_distance_to_robot_center_m: float = 1.0
+    use_odometry_information: bool = True
+    # Cylindrical separation height (laser_slam_worker.cpp:429: hard-coded 40).
+    cylinder_height_m: float = 40.0
+    local_map_capacity: int = 1 << 20    # fixed budget for the local map
+
+
+@dataclass(frozen=True)
+class BenchmarkerConfig:
+    """Metrics registry parameters (mirrors BenchmarkerParams,
+    benchmarker.hpp:48-56)."""
+    save_statistics_only: bool = False
+    enable_live_output: bool = False
+    results_directory: str = '/tmp/laser_slam_tpu_benchmarks'
+
+
+@dataclass(frozen=True)
+class AssemblerConfig:
+    """Revolution assembler parameters (velodyne_assembler_ros.cpp:145-156)."""
+    naive_assembling: bool = False       # skip motion de-skew when True
+    start_angle_rad: float = 1.5707963267948966  # pi/2 azimuth wrap
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level framework configuration."""
+    estimator: EstimatorConfig = field(default_factory=EstimatorConfig)
+    worker: WorkerConfig = field(default_factory=WorkerConfig)
+    benchmarker: BenchmarkerConfig = field(default_factory=BenchmarkerConfig)
+    assembler: AssemblerConfig = field(default_factory=AssemblerConfig)
+    n_workers: int = 1
+
+
+def _from_dict(cls, data):
+    """Recursively build a (nested) dataclass from a plain dict."""
+    if not dataclasses.is_dataclass(cls):
+        if isinstance(data, list):
+            return tuple(data)
+        return data
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in data.items():
+        if key not in fields:
+            raise KeyError(f'Unknown config key {key!r} for {cls.__name__}')
+        ftype = fields[key].type
+        # Resolve nested dataclass types by inspecting the default factory.
+        default = fields[key].default_factory if fields[key].default_factory \
+            is not dataclasses.MISSING else None
+        if default is not None and dataclasses.is_dataclass(default()):
+            kwargs[key] = _from_dict(type(default()), value)
+        elif isinstance(value, list):
+            kwargs[key] = tuple(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def load_config(path: str) -> Config:
+    """Load a :class:`Config` from a YAML file (missing keys -> defaults)."""
+    import yaml
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return _from_dict(Config, data)
+
+
+def save_config(config: Config, path: str) -> None:
+    import yaml
+    with open(path, 'w') as f:
+        yaml.safe_dump(dataclasses.asdict(config), f, sort_keys=False)

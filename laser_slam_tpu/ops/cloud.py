@@ -1,0 +1,254 @@
+"""Padded point-cloud substrate and tensorized filter chain.
+
+TPU-native replacement for libpointmatcher ``DataPoints`` +
+``DataPointsFilters`` (applied at laser_track.cpp:146) and the PCL
+VoxelGrid / cylindrical filters used by the worker's map layer
+(laser_slam_worker.cpp:437-440, laser_slam_ros/common.hpp:194-223).
+
+A cloud is a pytree ``Cloud(points[N,3], mask[N])`` with a *static* capacity
+N; invalid slots are masked out and parked at a far sentinel position so
+they never win a nearest-neighbor query.  All filters are shape-preserving
+(they only flip mask bits and compact), which keeps every consumer jittable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from laser_slam_tpu.ops import se3
+
+# Far-away parking spot for invalid points; large enough to lose any NN
+# query, small enough to stay well inside f32 range when squared.
+SENTINEL = 1.0e6
+
+
+class Cloud(NamedTuple):
+    """Fixed-capacity point cloud. points: [N,3] f32, mask: [N] bool."""
+    points: jax.Array
+    mask: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[-2]
+
+    def count(self) -> jax.Array:
+        """Number of valid points (traced scalar)."""
+        return jnp.sum(self.mask, axis=-1)
+
+
+def make_cloud(points, mask=None, capacity: Optional[int] = None) -> Cloud:
+    """Build a Cloud from raw points [M,3], padding/truncating to capacity."""
+    points = jnp.asarray(points, jnp.float32)
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    if capacity is None:
+        capacity = n
+    if n > capacity:
+        points, mask = points[:capacity], mask[:capacity]
+        n = capacity
+    pad = capacity - n
+    if pad:
+        points = jnp.concatenate(
+            [points, jnp.full((pad, 3), SENTINEL, points.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    return Cloud(jnp.where(mask[:, None], points, SENTINEL), mask)
+
+
+def empty_cloud(capacity: int) -> Cloud:
+    return Cloud(jnp.full((capacity, 3), SENTINEL, jnp.float32),
+                 jnp.zeros((capacity,), bool))
+
+
+def park_invalid(cloud: Cloud) -> Cloud:
+    """Move masked-out points to the sentinel position."""
+    return Cloud(jnp.where(cloud.mask[..., None], cloud.points, SENTINEL),
+                 cloud.mask)
+
+
+def transform(pose7, cloud: Cloud) -> Cloud:
+    """Rigid-transform a cloud; invalid points stay parked.
+
+    Replaces ``rigid_transformation_->compute(cloud, T)``
+    (laser_track.cpp:485,630).
+    """
+    pts = se3.apply(pose7, cloud.points)
+    return Cloud(jnp.where(cloud.mask[..., None], pts, SENTINEL), cloud.mask)
+
+
+def concatenate(clouds, capacity: Optional[int] = None) -> Cloud:
+    """Concatenate clouds along the point axis (static shapes).
+
+    Replaces ``DataPoints::concatenate`` in submap assembly
+    (laser_track.cpp:485, buildSubMapAroundTime).
+    """
+    points = jnp.concatenate([c.points for c in clouds], axis=-2)
+    mask = jnp.concatenate([c.mask for c in clouds], axis=-1)
+    out = Cloud(points, mask)
+    if capacity is not None and capacity != out.capacity:
+        out = compact(out, capacity)
+    return out
+
+
+def compact(cloud: Cloud, capacity: int) -> Cloud:
+    """Pack valid points to the front and resize to ``capacity``.
+
+    If more than ``capacity`` points are valid the tail is dropped
+    (callers that care should downsample first).
+    """
+    order = jnp.argsort(~cloud.mask, stable=True)  # valid first
+    pts = jnp.take(cloud.points, order, axis=-2)
+    msk = jnp.take(cloud.mask, order, axis=-1)
+    n = cloud.capacity
+    if capacity <= n:
+        pts, msk = pts[..., :capacity, :], msk[..., :capacity]
+    else:
+        pad = capacity - n
+        pts = jnp.concatenate(
+            [pts, jnp.full(pts.shape[:-2] + (pad, 3), SENTINEL, pts.dtype)],
+            axis=-2)
+        msk = jnp.concatenate(
+            [msk, jnp.zeros(msk.shape[:-1] + (pad,), bool)], axis=-1)
+    return park_invalid(Cloud(pts, msk))
+
+
+# ---------------------------------------------------------------------------
+# Filters (mask-only, shape preserving)
+# ---------------------------------------------------------------------------
+
+def range_filter(cloud: Cloud, min_dist: float = 0.0,
+                 max_dist: float = jnp.inf) -> Cloud:
+    """Keep points with min_dist <= ||p|| <= max_dist (sensor frame).
+
+    Replaces the typical Min/MaxDistDataPointsFilter entries of the
+    reference's input-filter YAML (laser_track.cpp:24-30).
+    """
+    d2 = jnp.sum(cloud.points * cloud.points, axis=-1)
+    keep = (d2 >= min_dist * min_dist) & (d2 <= max_dist * max_dist)
+    return park_invalid(Cloud(cloud.points, cloud.mask & keep))
+
+
+def random_sampling_filter(cloud: Cloud, prob: float, key) -> Cloud:
+    """Keep each valid point with probability ``prob``.
+
+    Replaces RandomSamplingDataPointsFilter (icp_default.yaml:2-3).
+    """
+    if prob >= 1.0:
+        return cloud
+    keep = jax.random.uniform(key, cloud.mask.shape) < prob
+    return park_invalid(Cloud(cloud.points, cloud.mask & keep))
+
+
+def box_filter(cloud: Cloud, center, half_extent) -> Cloud:
+    """Keep points inside an axis-aligned box."""
+    inside = jnp.all(jnp.abs(cloud.points - center) <= half_extent, axis=-1)
+    return park_invalid(Cloud(cloud.points, cloud.mask & inside))
+
+
+def cylindrical_filter(cloud: Cloud, center, radius_m: float,
+                       height_m: float, remove_inside: bool) -> Cloud:
+    """Keep (or remove) points inside a vertical cylinder around ``center``.
+
+    Mirrors ``applyCylindricalFilter`` (laser_slam_ros/common.hpp:194-223)
+    used for local/distant map separation (laser_slam_worker.cpp:423-463).
+    """
+    center = jnp.asarray(center, cloud.points.dtype)
+    d2 = jnp.sum((cloud.points[..., :2] - center[:2]) ** 2, axis=-1)
+    dz = jnp.abs(cloud.points[..., 2] - center[2])
+    inside = (d2 <= radius_m * radius_m) & (dz <= height_m / 2.0)
+    keep = jnp.where(remove_inside, ~inside, inside)
+    return park_invalid(Cloud(cloud.points, cloud.mask & keep))
+
+
+def ground_filter(cloud: Cloud, robot_height_m, ground_clearance_m) -> Cloud:
+    """Remove points below robot_height - clearance (world frame).
+
+    Mirrors the ground-removal loop in scanCallback
+    (laser_slam_worker.cpp:221-233).
+    """
+    keep = cloud.points[..., 2] > (robot_height_m - ground_clearance_m)
+    return park_invalid(Cloud(cloud.points, cloud.mask & keep))
+
+
+def voxel_filter(cloud: Cloud, voxel_size_m: float,
+                 min_points_per_voxel: int = 1,
+                 hash_capacity: Optional[int] = None) -> Cloud:
+    """Voxel-grid downsample: keep one representative per occupied voxel.
+
+    Scatter-based replacement for PCL VoxelGrid with
+    ``setMinimumPointsNumberPerVoxel`` (laser_slam_worker.cpp:70-72,439-440).
+    Representative = the first valid point hashed into the voxel (PCL uses
+    the centroid; first-point is standard for LiDAR maps and keeps the op a
+    pure scatter).  Voxels with fewer than ``min_points_per_voxel`` points
+    are dropped.
+    """
+    n = cloud.capacity
+    if hash_capacity is None:
+        hash_capacity = max(2 * n, 1024)
+    cell = jnp.floor(cloud.points / voxel_size_m).astype(jnp.int32)
+    # 3-way hash of the voxel coordinate -> [0, hash_capacity)
+    h = _hash_cells(cell, hash_capacity)
+    h = jnp.where(cloud.mask, h, hash_capacity)  # invalid -> overflow bucket
+
+    counts = jnp.zeros((hash_capacity + 1,), jnp.int32).at[h].add(1)
+    # First valid point index per bucket.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.full((hash_capacity + 1,), n, jnp.int32).at[h].min(idx)
+    keep = (first[h] == idx) & (counts[h] >= min_points_per_voxel) & cloud.mask
+    return park_invalid(Cloud(cloud.points, keep))
+
+
+def _hash_cells(cell_ijk, capacity: int) -> jax.Array:
+    """Spatial hash of integer cells [...,3] -> [0, capacity)."""
+    p1, p2, p3 = jnp.int32(73856093), jnp.int32(19349663), jnp.int32(83492791)
+    h = (cell_ijk[..., 0] * p1) ^ (cell_ijk[..., 1] * p2) ^ (cell_ijk[..., 2] * p3)
+    return jnp.abs(h) % capacity
+
+
+# ---------------------------------------------------------------------------
+# Surface normals
+# ---------------------------------------------------------------------------
+
+def estimate_normals(cloud: Cloud, knn: int = 10,
+                     tile: int = 2048) -> jax.Array:
+    """Per-point surface normals from the k nearest neighbors.
+
+    Replaces SamplingSurfaceNormalDataPointsFilter (icp_default.yaml:6-7,
+    knn=10) on the ICP reference cloud.  Normals are computed once per scan
+    in the sensor frame at ingest and rotated alongside the points when
+    submaps are assembled — rigid transforms preserve normals.
+
+    Returns unit normals [N,3] (arbitrary but deterministic for masked
+    slots).  Exact kNN via tiled distance products on the MXU.
+    """
+    pts = cloud.points
+    n = cloud.capacity
+    k = knn
+
+    norms2 = jnp.sum(pts * pts, axis=-1)
+
+    def tile_knn(q):  # q: [T,3] query tile -> [T,k] neighbor indices
+        d2 = (jnp.sum(q * q, axis=-1)[:, None] - 2.0 *
+              q @ pts.T + norms2[None, :])
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx
+
+    n_tiles = max(n // tile, 1)
+    q_tiles = pts.reshape(n_tiles, -1, 3)
+    idx = jax.lax.map(tile_knn, q_tiles).reshape(n, k)
+
+    neigh = pts[idx]                                    # [N,k,3]
+    centered = neigh - jnp.mean(neigh, axis=-2, keepdims=True)
+    cov = jnp.einsum('nki,nkj->nij', centered, centered) / k
+    # Smallest-eigenvector = surface normal.
+    _, vecs = jnp.linalg.eigh(cov)
+    normal = vecs[..., 0]
+    # Deterministic orientation: point normals toward the sensor origin
+    # (reference normals are unoriented; point-to-plane only needs a line).
+    flip = jnp.sum(normal * pts, axis=-1, keepdims=True) > 0
+    normal = jnp.where(flip, -normal, normal)
+    return jnp.where(cloud.mask[:, None], normal,
+                     jnp.array([0.0, 0.0, 1.0], pts.dtype))

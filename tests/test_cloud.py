@@ -1,0 +1,109 @@
+"""Tests for the padded point-cloud substrate and filters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laser_slam_tpu.ops import cloud as pc
+from laser_slam_tpu.ops import se3
+
+
+def make(rng, n=100, cap=128, scale=10.0):
+    pts = rng.normal(size=(n, 3)) * scale
+    return pc.make_cloud(pts, capacity=cap), pts
+
+
+def test_make_cloud_pads_and_parks(rng):
+    c, pts = make(rng)
+    assert c.capacity == 128
+    assert int(c.count()) == 100
+    np.testing.assert_allclose(c.points[:100], pts, rtol=1e-6)
+    assert np.all(np.asarray(c.points[100:]) == pc.SENTINEL)
+
+
+def test_transform_preserves_mask(rng):
+    c, pts = make(rng)
+    p = se3.exp(jnp.asarray([0.1, -0.2, 0.3, 1.0, 2.0, 3.0], jnp.float32))
+    ct = pc.transform(p, c)
+    np.testing.assert_allclose(ct.points[:100], se3.apply(p, c.points[:100]),
+                               rtol=1e-5)
+    assert np.all(np.asarray(ct.points[100:]) == pc.SENTINEL)
+
+
+def test_range_filter(rng):
+    pts = np.array([[0.1, 0, 0], [5, 0, 0], [100, 0, 0]])
+    c = pc.make_cloud(pts)
+    out = pc.range_filter(c, min_dist=1.0, max_dist=50.0)
+    np.testing.assert_array_equal(out.mask, [False, True, False])
+
+
+def test_random_sampling_filter(rng):
+    c, _ = make(rng, n=1000, cap=1024)
+    out = pc.random_sampling_filter(c, 0.5, jax.random.key(0))
+    frac = int(out.count()) / 1000
+    assert 0.4 < frac < 0.6
+
+
+def test_cylindrical_filter():
+    pts = np.array([[1, 0, 0], [10, 0, 0], [1, 0, 30]], float)
+    c = pc.make_cloud(pts)
+    inside = pc.cylindrical_filter(c, jnp.zeros(3), 5.0, 40.0, False)
+    np.testing.assert_array_equal(inside.mask, [True, False, False])
+    outside = pc.cylindrical_filter(c, jnp.zeros(3), 5.0, 40.0, True)
+    np.testing.assert_array_equal(outside.mask, [False, True, True])
+
+
+def test_voxel_filter_dedups(rng):
+    # Two clusters of near-identical points plus one isolated point.
+    # Cluster centers inside voxel cells (not on boundaries).
+    base = np.array([[0.25, 0.25, 0.25], [5.25, 5.25, 5.25]])
+    pts = np.concatenate([
+        base[0] + rng.normal(size=(20, 3)) * 0.005,
+        base[1] + rng.normal(size=(20, 3)) * 0.005,
+        [[20.0, 20.0, 20.0]],
+    ])
+    c = pc.make_cloud(pts, capacity=64)
+    out = pc.voxel_filter(c, voxel_size_m=0.5)
+    assert int(out.count()) == 3
+    out2 = pc.voxel_filter(c, voxel_size_m=0.5, min_points_per_voxel=5)
+    assert int(out2.count()) == 2  # isolated point dropped
+
+
+def test_concatenate_and_compact(rng):
+    c1, _ = make(rng, n=10, cap=16)
+    c2, _ = make(rng, n=20, cap=32)
+    cat = pc.concatenate([c1, c2], capacity=64)
+    assert cat.capacity == 64
+    assert int(cat.count()) == 30
+    # Valid points are packed to the front.
+    assert np.all(np.asarray(cat.mask[:30]))
+    small = pc.compact(cat, 16)
+    assert int(small.count()) == 16
+
+
+def test_ground_filter():
+    pts = np.array([[0, 0, -1.0], [0, 0, 1.0]])
+    c = pc.make_cloud(pts)
+    out = pc.ground_filter(c, robot_height_m=0.0, ground_clearance_m=0.5)
+    np.testing.assert_array_equal(out.mask, [False, True])
+
+
+def test_estimate_normals_plane(rng):
+    # Points on the z=0 plane -> normals along +/- z.
+    xy = rng.uniform(-5, 5, size=(256, 2))
+    pts = np.concatenate([xy, np.zeros((256, 1))], axis=1)
+    # Sensor above the plane so orientation is deterministic.
+    pts[:, 2] -= 1.0
+    c = pc.make_cloud(pts, capacity=256)
+    normals = pc.estimate_normals(c, knn=8)
+    nz = np.abs(np.asarray(normals)[:, 2])
+    assert np.mean(nz > 0.99) > 0.95
+
+
+def test_estimate_normals_masked(rng):
+    c, _ = make(rng, n=50, cap=64)
+    normals = pc.estimate_normals(c, knn=6)
+    assert normals.shape == (64, 3)
+    assert np.all(np.isfinite(np.asarray(normals)))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(normals)[:50],
+                                              axis=1), 1.0, atol=1e-4)

@@ -1,0 +1,184 @@
+"""Point-to-plane ICP engine: fixed-shape, jit/vmap-able.
+
+TPU-native replacement for the libpointmatcher ICP pipeline configured in
+laser_slam/configurations/icp_default.yaml and invoked via
+``icp_.compute(reading, reference, initial_guess)``
+(laser_track.cpp:496, incremental_estimator.cpp:108):
+
+  reading filter    RandomSampling(prob=0.5)      -> caller samples to a
+                                                     fixed reading budget
+  reference filter  SamplingSurfaceNormal(knn=10) -> cloud.estimate_normals
+  matcher           KDTreeMatcher(knn=1)          -> neighbors.nn_brute /
+                                                     neighbors.nn_grid
+  outlier filter    TrimmedDist(ratio=0.75)       -> masked quantile trim
+  minimizer         PointToPlane                  -> 6x6 Gauss-Newton step
+  checkers          Counter(40) + Differential    -> lax.while_loop with a
+                    (0.001/0.01, smooth 4)           smoothed-delta window
+
+Semantics preserved: on failure (too few correspondences) the initial
+guess is returned, mirroring the reference's catch of
+``PointMatcher::ConvergenceError`` (laser_track.cpp:495-502) — except here
+failure is a value (``IcpResult.converged_mask``), not an exception, so the
+op stays pure and vmappable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from laser_slam_tpu.config import IcpConfig
+from laser_slam_tpu.ops import se3
+from laser_slam_tpu.ops.cloud import Cloud
+from laser_slam_tpu.ops import neighbors as nb
+
+
+class IcpResult(NamedTuple):
+    """Result of one ICP solve.
+
+    T: pose7 aligning reading into the reference frame (T @ reading ~ ref).
+    valid: correspondence count stayed above the minimum — when False, T
+        equals the initial guess (reference fallback semantics).
+    iterations: iterations actually executed.
+    mean_error: mean |point-to-plane residual| over inliers at the last
+        iteration.
+    num_inliers: trimmed-inlier count at the last iteration.
+    """
+    T: jax.Array
+    valid: jax.Array
+    iterations: jax.Array
+    mean_error: jax.Array
+    num_inliers: jax.Array
+
+
+# Minimum trimmed-inlier count below which the solve is declared failed.
+MIN_INLIERS = 24
+
+
+def _trim_mask(d2: jax.Array, valid: jax.Array, ratio: float):
+    """Keep the closest ``ratio`` fraction of valid correspondences.
+
+    Implements TrimmedDistOutlierFilter (icp_default.yaml:15-16) with fixed
+    shapes: threshold = distance quantile among valid matches.
+    """
+    big = jnp.where(valid, d2, jnp.inf)
+    order = jnp.sort(big)
+    n_valid = jnp.sum(valid)
+    k = jnp.maximum((n_valid.astype(jnp.float32) * ratio).astype(jnp.int32),
+                    1) - 1
+    thresh = order[jnp.clip(k, 0, d2.shape[0] - 1)]
+    return valid & (d2 <= thresh)
+
+
+def _gauss_newton_step(p_world, q, n, w, damping=1e-6):
+    """One point-to-plane GN step.
+
+    Minimizes sum_i w_i (n_i . (p_i - q_i))^2 over a left-multiplicative
+    increment exp([omega, v]) applied to the points p.
+    J_i = [p_i x n_i, n_i] in R^6.
+    """
+    r = jnp.sum(n * (p_world - q), axis=-1)              # [N]
+    J = jnp.concatenate([jnp.cross(p_world, n), n], axis=-1)  # [N,6]
+    Jw = J * w[:, None]
+    A = Jw.T @ J                                         # [6,6]
+    b = -Jw.T @ r                                        # [6]
+    A = A + damping * jnp.eye(6, dtype=A.dtype) * (1.0 + jnp.trace(A) / 6.0)
+    delta = jnp.linalg.solve(A, b)
+    return delta, r
+
+
+def icp_point_to_plane(
+        reading: Cloud,
+        reference: Cloud,
+        ref_normals: jax.Array,
+        initial_guess: jax.Array,
+        config: IcpConfig,
+        grid: Optional[nb.GridHash] = None,
+) -> IcpResult:
+    """Align ``reading`` to ``reference`` starting from ``initial_guess``.
+
+    Mirrors ``icp_.compute(reading, reference, T0)`` (laser_track.cpp:496).
+    ``ref_normals`` are per-reference-point unit normals in the reference
+    frame (precompute with :func:`cloud.estimate_normals`).  When ``grid``
+    is provided the voxel-hash matcher is used, otherwise exact brute NN.
+    """
+    max_corr2 = config.max_correspondence_dist_m ** 2
+    smooth = config.smooth_length
+
+    # Reference points with a sentinel row so gathers of the grid matcher's
+    # miss index (== capacity) are well-defined.
+    ref_ext_pts = jnp.concatenate(
+        [reference.points,
+         jnp.full((1, 3), 0.0, reference.points.dtype)], axis=0)
+    ref_ext_normals = jnp.concatenate(
+        [ref_normals, jnp.zeros((1, 3), ref_normals.dtype)], axis=0)
+    ref_ext_mask = jnp.concatenate(
+        [reference.mask, jnp.zeros((1,), bool)], axis=0)
+
+    def match(p_world):
+        if grid is not None:
+            return nb.nn_grid(p_world, reference, grid)
+        return nb.nn_brute(p_world, reference.points)
+
+    def cond(state):
+        T, it, hist, done, *_ = state
+        return (it < config.max_iterations) & ~done
+
+    def body(state):
+        T, it, hist, done, _, _ = state
+        p_world = se3.apply(T, reading.points)
+        idx, d2 = match(p_world)
+        idx = jnp.clip(idx, 0, reference.capacity)
+        valid = (reading.mask & ref_ext_mask[idx] & (d2 <= max_corr2))
+        inlier = _trim_mask(d2, valid, config.trimmed_dist_ratio)
+        w = inlier.astype(p_world.dtype)
+        n_in = jnp.sum(inlier)
+
+        q = ref_ext_pts[idx]
+        n = ref_ext_normals[idx]
+        delta, r = _gauss_newton_step(p_world, q, n, w)
+
+        enough = n_in >= MIN_INLIERS
+        # Freeze the transform if the solve failed this iteration.
+        delta = jnp.where(enough, delta, 0.0)
+        T_new = se3.normalize(se3.compose(se3.exp(delta), T))
+
+        # Differential checker window (icp_default.yaml:24-27): smoothed
+        # rotation/translation increments over the last `smooth` iterations.
+        d_rot = jnp.linalg.norm(delta[:3])
+        d_trans = jnp.linalg.norm(delta[3:])
+        hist = jnp.roll(hist, shift=-1, axis=0).at[-1].set(
+            jnp.stack([d_rot, d_trans]))
+        means = jnp.mean(hist, axis=0)
+        converged = ((it + 1 >= smooth) &
+                     (means[0] < config.min_diff_rot) &
+                     (means[1] < config.min_diff_trans))
+        mean_err = jnp.sum(jnp.abs(r) * w) / jnp.maximum(n_in, 1)
+        return (T_new, it + 1, hist, converged | ~enough, mean_err, n_in)
+
+    hist0 = jnp.full((smooth, 2), jnp.inf, jnp.float32)
+    state0 = (initial_guess, jnp.int32(0), hist0, jnp.bool_(False),
+              jnp.float32(jnp.inf), jnp.int32(0))
+    T, it, _, _, mean_err, n_in = jax.lax.while_loop(cond, body, state0)
+
+    ok = n_in >= MIN_INLIERS
+    T_final = jnp.where(ok, T, initial_guess)
+    return IcpResult(T=T_final, valid=ok, iterations=it,
+                     mean_error=mean_err, num_inliers=n_in)
+
+
+@partial(jax.jit, static_argnames=('config', 'use_grid'))
+def icp(reading: Cloud, reference: Cloud, ref_normals, initial_guess,
+        config: IcpConfig, use_grid: Optional[bool] = None) -> IcpResult:
+    """Jitted entry point; picks the matcher from ``config.matcher``."""
+    if use_grid is None:
+        use_grid = config.matcher == 'grid'
+    grid = None
+    if use_grid:
+        grid = nb.build_grid(reference, config.grid_cell_size_m,
+                             cell_capacity=config.grid_cell_capacity)
+    return icp_point_to_plane(reading, reference, ref_normals,
+                              initial_guess, config, grid)

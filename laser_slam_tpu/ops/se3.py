@@ -152,11 +152,16 @@ def quat_from_matrix(m) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def so3_exp_quat(omega) -> jax.Array:
-    """Rotation vector [...,3] -> quaternion [...,4]."""
+    """Rotation vector [...,3] -> quaternion [...,4].
+
+    NaN-safe under differentiation at omega == 0 (double-where pattern:
+    the singular branch never sees the singular input).
+    """
     theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS2))
-    half = 0.5 * theta
     small = theta2 < _EPS2
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    half = 0.5 * theta
     # sin(t/2)/t -> 1/2 - t^2/48 for small t
     k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
     w = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
@@ -164,16 +169,21 @@ def so3_exp_quat(omega) -> jax.Array:
 
 
 def so3_log(q) -> jax.Array:
-    """Quaternion [...,4] -> rotation vector [...,3]."""
+    """Quaternion [...,4] -> rotation vector [...,3].
+
+    NaN-safe under differentiation at the identity quaternion.
+    """
     q = jnp.where(q[..., :1] < 0, -q, q)  # canonical hemisphere
     qv = q[..., 1:]
-    sin_half = jnp.linalg.norm(qv, axis=-1, keepdims=True)
+    sin2 = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    small = sin2 < _EPS2
+    sin_half = jnp.sqrt(jnp.where(small, 1.0, sin2))
     cos_half = q[..., :1]
-    half = jnp.arctan2(sin_half, cos_half)
-    small = sin_half < 1e-6
+    half = jnp.arctan2(jnp.where(small, 0.0, sin_half), cos_half)
     # theta / sin(theta/2) -> 2 + theta^2/12 for small theta
-    scale = jnp.where(small, 2.0 + 2.0 * half * half / 3.0,
-                      2.0 * half / jnp.maximum(sin_half, 1e-12))
+    # For small angles sin2 ~ (theta/2)^2, so scale ~ 2 + (2/3)(theta/2)^2.
+    scale = jnp.where(small, 2.0 + 2.0 * sin2 / 3.0,
+                      2.0 * half / sin_half)
     return scale * qv
 
 
@@ -186,34 +196,43 @@ def _hat(omega) -> jax.Array:
 
 
 def _left_jacobian(omega) -> jax.Array:
-    """SO(3) left Jacobian V(omega) [...,3,3]: t = V @ rho in SE(3) exp."""
+    """SO(3) left Jacobian V(omega) [...,3,3]: t = V @ rho in SE(3) exp.
+
+    NaN-safe under differentiation at omega == 0.
+    """
     theta2 = jnp.sum(omega * omega, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS2))
+    small = theta2 < _EPS2
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     K = _hat(omega)
     K2 = K @ K
-    small = theta2 < _EPS2
     a = jnp.where(small, 0.5 - theta2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS2))
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
     b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, _EPS2 ** 1.5))
+                  (theta - jnp.sin(theta)) / (theta2_safe * theta))
     eye = jnp.eye(3, dtype=omega.dtype)
     return eye + a * K + b * K2
 
 
 def _left_jacobian_inv(omega) -> jax.Array:
-    """Inverse of the SO(3) left Jacobian, [...,3,3]."""
+    """Inverse of the SO(3) left Jacobian, [...,3,3].
+
+    NaN-safe under differentiation at omega == 0.
+    """
     theta2 = jnp.sum(omega * omega, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS2))
+    small = theta2 < _EPS2
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     K = _hat(omega)
     K2 = K @ K
-    small = theta2 < _EPS2
     half = 0.5 * theta
-    # (1/theta^2) * (1 - theta*sin/(2(1-cos))) -> 1/12 + theta^2/720
+    sin_half = jnp.sin(half)
+    sin_half_safe = jnp.where(small, 1.0, sin_half)
+    # (1/theta^2) * (1 - theta/2 * cot(theta/2)) -> 1/12 + theta^2/720
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), 1e-12))
-        / jnp.maximum(theta2, _EPS2),
+        (1.0 - half * jnp.cos(half) / sin_half_safe) / theta2_safe,
     )
     eye = jnp.eye(3, dtype=omega.dtype)
     return eye - 0.5 * K + cot_term * K2

@@ -1,0 +1,175 @@
+"""Pose-graph solver tests: chains, loops, priors, robustness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laser_slam_tpu.config import SolverConfig
+from laser_slam_tpu.graph import factors as fg
+from laser_slam_tpu.graph import solver as sv
+from laser_slam_tpu.ops import se3
+
+SIG = np.full(6, 0.01, np.float32)
+PRIOR_SIG = np.full(6, 1e-7, np.float32)
+
+
+def build_chain(rng, n=16, noise=0.0):
+    """Ground-truth chain of poses + noisy odometry measurements."""
+    xis = rng.normal(size=(n - 1, 6)).astype(np.float32) * 0.2
+    poses = [np.asarray(se3.identity())]
+    for i in range(n - 1):
+        poses.append(np.asarray(
+            se3.compose(jnp.asarray(poses[-1]), se3.exp(jnp.asarray(xis[i])))))
+    gt = np.stack(poses)
+
+    g = fg.HostGraph()
+    g.add_prior(0, gt[0], PRIOR_SIG)
+    for i in range(n - 1):
+        meas = se3.compose(se3.inverse(jnp.asarray(gt[i])),
+                           jnp.asarray(gt[i + 1]))
+        if noise > 0:
+            meas = se3.compose(meas, se3.exp(
+                jnp.asarray(rng.normal(size=6).astype(np.float32) * noise)))
+        g.add_relative(i, i + 1, np.asarray(meas), SIG)
+    return g, gt
+
+
+def pad_poses(poses_np, capacity):
+    n = poses_np.shape[0]
+    out = np.zeros((capacity, 7), np.float32)
+    out[:, 0] = 1.0
+    out[:n] = poses_np
+    mask = np.zeros(capacity, bool)
+    mask[:n] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+def test_chain_exact_measurements_stays_put(rng):
+    g, gt = build_chain(rng, n=8)
+    poses, mask = pad_poses(gt, 16)
+    cfg = SolverConfig(gn_iterations=2, pcg_iterations=50)
+    res = sv.solve(g.to_device(), poses, mask, cfg)
+    np.testing.assert_allclose(np.asarray(res.poses)[:8, 4:], gt[:, 4:],
+                               atol=1e-4)
+    assert float(res.error_final) < 1e-6
+
+
+def test_chain_corrects_perturbed_initialization(rng):
+    g, gt = build_chain(rng, n=10)
+    init = gt.copy()
+    # Perturb every pose except the anchored first.
+    for i in range(1, 10):
+        init[i] = np.asarray(se3.compose(
+            jnp.asarray(gt[i]),
+            se3.exp(jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.05))))
+    poses, mask = pad_poses(init, 16)
+    cfg = SolverConfig(gn_iterations=4, pcg_iterations=60)
+    res = sv.solve(g.to_device(), poses, mask, cfg)
+    out = np.asarray(res.poses)[:10]
+    np.testing.assert_allclose(out[:, 4:], gt[:, 4:], atol=1e-3)
+    assert float(res.error_final) < float(res.error_initial)
+
+
+def test_loop_closure_distributes_error(rng):
+    """A square loop with drift: the loop-closure factor should pull the
+    last pose back toward the first."""
+    n = 20
+    g, gt = build_chain(rng, n=n, noise=0.01)
+    # Loop closure: relative pose between node n-1 and node 0, exact.
+    T_lc = se3.compose(se3.inverse(jnp.asarray(gt[0])), jnp.asarray(gt[n - 1]))
+    g.add_relative(0, n - 1, np.asarray(T_lc), SIG * 0.1)
+    poses, mask = pad_poses(gt, 32)
+    cfg = SolverConfig(gn_iterations=3, pcg_iterations=60)
+    res = sv.solve(g.to_device(), poses, mask, cfg)
+    # End pose must satisfy the loop closure tightly.
+    end = jnp.asarray(np.asarray(res.poses)[n - 1])
+    start = jnp.asarray(np.asarray(res.poses)[0])
+    T_ab = se3.compose(se3.inverse(start), end)
+    err = np.linalg.norm(np.asarray(se3.log(
+        se3.compose(se3.inverse(T_lc), T_ab))))
+    assert err < 0.02, err
+
+
+def test_gauge_prior_freezes_first_pose(rng):
+    g, gt = build_chain(rng, n=6, noise=0.02)
+    poses, mask = pad_poses(gt, 8)
+    cfg = SolverConfig(gn_iterations=3, pcg_iterations=40)
+    res = sv.solve(g.to_device(), poses, mask, cfg)
+    # First pose pinned exactly by the gauge prior.
+    np.testing.assert_allclose(np.asarray(res.poses)[0], gt[0], atol=1e-6)
+
+
+def test_prior_removal_unfreezes(rng):
+    """Mirrors estimateAndRemove: removing a track's prior lets a linking
+    factor pull it (incremental_estimator.cpp:240-258)."""
+    g = fg.HostGraph()
+    T0 = np.asarray(se3.identity())
+    T1 = np.asarray(se3.exp(jnp.asarray([0, 0, 0, 5, 0, 0], jnp.float32)))
+    g.add_prior(0, T0, PRIOR_SIG)
+    prior1 = g.add_prior(1, T1, PRIOR_SIG)
+    # Linking factor says pose1 should be at x=4 relative to pose0.
+    T_link = np.asarray(se3.exp(jnp.asarray([0, 0, 0, 4, 0, 0], jnp.float32)))
+    g.add_relative(0, 1, T_link, SIG)
+    init = np.stack([T0, T1])
+    poses, mask = pad_poses(init, 2)
+    cfg = SolverConfig(gn_iterations=3, pcg_iterations=30)
+
+    # With both priors active, pose1 stays pinned at x=5.
+    res = sv.solve(g.to_device(), poses, mask, cfg)
+    assert abs(float(res.poses[1, 4]) - 5.0) < 1e-4
+
+    # Remove pose1's prior: the relative factor wins, pose1 -> x=4.
+    g.remove_prior(prior1)
+    res2 = sv.solve(g.to_device(), poses, mask, cfg)
+    assert abs(float(res2.poses[1, 4]) - 4.0) < 1e-3
+
+
+def test_robust_factor_downweights_outlier(rng):
+    """A wildly wrong robust factor must not corrupt the solution."""
+    g, gt = build_chain(rng, n=8)
+    # Outlier loop closure with Cauchy robustness.
+    bad = np.asarray(se3.exp(jnp.asarray([0, 0, 0, 50, 0, 0], jnp.float32)))
+    g.add_relative(0, 7, bad, SIG, robust=True)
+    poses, mask = pad_poses(gt, 8)
+    cfg = SolverConfig(gn_iterations=4, pcg_iterations=50)
+    res = sv.solve(g.to_device(), poses, mask, cfg)
+    err = np.linalg.norm(np.asarray(res.poses)[:8, 4:] - gt[:, 4:], axis=1)
+    assert np.all(err < 0.05), err
+
+
+def test_fixed_a_factor_only_moves_b(rng):
+    g = fg.HostGraph()
+    T0 = np.asarray(se3.identity())
+    T1 = np.asarray(se3.exp(jnp.asarray([0, 0, 0, 1, 0, 0], jnp.float32)))
+    g.add_prior(0, T0, PRIOR_SIG)
+    T_meas = np.asarray(se3.exp(jnp.asarray([0, 0, 0, 2, 0, 0], jnp.float32)))
+    g.add_relative(0, 1, T_meas, SIG, fixed_a=True)
+    poses, mask = pad_poses(np.stack([T0, T1]), 2)
+    cfg = SolverConfig(gn_iterations=3, pcg_iterations=20)
+    res = sv.solve(g.to_device(), poses, mask, cfg)
+    assert abs(float(res.poses[1, 4]) - 2.0) < 1e-3
+
+
+def test_marginal_covariance_chain(rng):
+    """Covariance must grow along an unanchored chain direction."""
+    g, gt = build_chain(rng, n=6)
+    poses, mask = pad_poses(gt, 8)
+    cfg = SolverConfig(gn_iterations=1, pcg_iterations=200)
+    covs = sv.marginal_covariance(g.to_device(), poses, mask,
+                                  jnp.asarray([1, 5]), cfg)
+    c1 = np.trace(np.asarray(covs[0]))
+    c5 = np.trace(np.asarray(covs[1]))
+    assert c5 > c1 > 0  # uncertainty accumulates away from the prior
+
+
+def test_solve_is_vmappable(rng):
+    """Batch of independent graphs (fleet mode)."""
+    g, gt = build_chain(rng, n=6)
+    data = g.to_device()
+    poses, mask = pad_poses(gt, 8)
+    batch = jax.tree.map(lambda x: jnp.stack([x, x]), data)
+    poses_b = jnp.stack([poses, poses])
+    cfg = SolverConfig(gn_iterations=2, pcg_iterations=30)
+    res = jax.vmap(lambda d, p: sv.solve(d, p, mask, cfg))(batch, poses_b)
+    assert res.poses.shape == (2, 8, 7)
+    np.testing.assert_allclose(res.poses[0], res.poses[1], atol=1e-6)

@@ -1,0 +1,243 @@
+"""Headline benchmark: ICP scan-pairs/sec at the BASELINE.json workload.
+
+Workload (BASELINE.json "metric"): point-to-plane ICP with a 64k-point
+reference submap and an 8192-point reading, 40-iteration budget with the
+reference's differential convergence checkers, plus the incremental GN
+solve at a 10k-pose graph.
+
+Baseline: the same algorithm run single-threaded on the host CPU with a
+scipy cKDTree matcher — an honest stand-in for the reference's
+libpointmatcher/libnabo pipeline (C kd-tree + point-to-plane GN on one
+ROS-callback thread; the reference publishes no numbers of its own,
+README.md:1-7).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_scene(rng, n_world=200_000, extent=80.0):
+    """Velodyne-like structured scene: ground + walls + boxes."""
+    n1 = n_world // 3
+    ground = np.stack([rng.uniform(-extent, extent, n1),
+                       rng.uniform(-extent, extent, n1),
+                       rng.normal(0, 0.02, n1)], 1)
+    n2 = n_world // 3
+    angs = rng.uniform(0, 2 * np.pi, n2)
+    walls = np.stack([extent * 0.9 * np.cos(angs),
+                      extent * 0.9 * np.sin(angs),
+                      rng.uniform(0, 6, n2)], 1)
+    m = n_world - n1 - n2
+    centers = rng.uniform(-60, 60, size=(40, 2))
+    boxes = []
+    per = m // 40
+    for cx, cy in centers:
+        face = rng.integers(0, 4, per)
+        u = rng.uniform(-2, 2, per)
+        z = rng.uniform(0, 4, per)
+        x = np.where(face == 0, cx + 2, np.where(face == 1, cx - 2, cx + u))
+        y = np.where(face < 2, cy + u, np.where(face == 2, cy + 2, cy - 2))
+        boxes.append(np.stack([x, y, z], 1))
+    pts = np.concatenate([ground, walls] + boxes)[:n_world]
+    return pts.astype(np.float32)
+
+
+def sample_scan(rng, world, pose_t, n_pts, noise=0.02):
+    local = world - pose_t[None, :]
+    d = np.linalg.norm(local, axis=1)
+    idx = np.flatnonzero(d < 75.0)
+    idx = rng.choice(idx, min(n_pts, len(idx)), replace=False)
+    return (local[idx] + rng.normal(size=(len(idx), 3)) * noise
+            ).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# CPU baseline: same ICP algorithm, scipy cKDTree matcher, single thread
+# ---------------------------------------------------------------------------
+
+def cpu_icp(reading, ref, ref_normals, T0, max_iter=40, trim=0.75,
+            min_diff_rot=0.001, min_diff_trans=0.01, smooth=4):
+    from scipy.spatial import cKDTree
+    tree = cKDTree(ref)
+    R = T0[:3, :3].copy()
+    t = T0[:3, 3].copy()
+    hist = []
+    iters = 0
+    for it in range(max_iter):
+        iters = it + 1
+        p = reading @ R.T + t
+        d, idx = tree.query(p)
+        thresh = np.quantile(d, trim)
+        sel = d <= thresh
+        q = ref[idx[sel]]
+        n = ref_normals[idx[sel]]
+        ps = p[sel]
+        r = np.sum(n * (ps - q), axis=1)
+        J = np.concatenate([np.cross(ps, n), n], axis=1)
+        A = J.T @ J + 1e-6 * np.eye(6)
+        delta = np.linalg.solve(A, -J.T @ r)
+        w = delta[:3]
+        ang = np.linalg.norm(w)
+        if ang > 1e-12:
+            K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                          [-w[1], w[0], 0]]) / ang
+            dR = (np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K)
+        else:
+            dR = np.eye(3)
+        R = dR @ R
+        t = dR @ t + delta[3:]
+        hist.append((ang, np.linalg.norm(delta[3:])))
+        if len(hist) >= smooth:
+            mr = np.mean([h[0] for h in hist[-smooth:]])
+            mt = np.mean([h[1] for h in hist[-smooth:]])
+            if mr < min_diff_rot and mt < min_diff_trans:
+                break
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T, iters
+
+
+def bench_cpu(rng, world, ref_np, normals_np, readings, n_runs=3):
+    times = []
+    total_iters = 0
+    for i in range(n_runs):
+        T0 = np.eye(4, dtype=np.float32)
+        t0 = time.perf_counter()
+        _, iters = cpu_icp(readings[i % len(readings)], ref_np, normals_np,
+                           T0)
+        times.append(time.perf_counter() - t0)
+        total_iters += iters
+    return np.mean(times), total_iters / n_runs
+
+
+# ---------------------------------------------------------------------------
+# TPU benchmark
+# ---------------------------------------------------------------------------
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import laser_slam_tpu  # noqa: F401
+    from laser_slam_tpu.config import IcpConfig, SolverConfig
+    from laser_slam_tpu.ops import cloud as pc
+    from laser_slam_tpu.ops import icp as icp_mod
+    from laser_slam_tpu.ops import se3
+    from laser_slam_tpu.graph import factors as fg
+    from laser_slam_tpu.graph import solver as sv
+
+    rng = np.random.default_rng(0)
+    REF_N = 65536
+    READ_N = 8192
+    N_SOLVES = 16
+
+    world = make_scene(rng)
+    pose0 = np.array([0.0, 0.0, 1.8])
+    ref_np = sample_scan(rng, world, pose0, REF_N)
+    ref = pc.make_cloud(ref_np, capacity=REF_N)
+    normals = pc.estimate_normals(ref, knn=10)
+    normals_np = np.asarray(normals)
+
+    # Pre-stage readings: scans from slightly moved poses.
+    readings_np = []
+    for i in range(N_SOLVES):
+        dp = pose0 + rng.normal(size=3) * np.array([0.5, 0.5, 0.02])
+        readings_np.append(sample_scan(rng, world, dp, READ_N))
+    readings = [pc.make_cloud(r, capacity=READ_N) for r in readings_np]
+
+    extras = {}
+    device = jax.devices()[0]
+    extras['device'] = str(device)
+
+    results = {}
+    for matcher in ('brute', 'grid'):
+        cfg = IcpConfig(matcher=matcher, reading_capacity=READ_N,
+                        reading_sampling_ratio=1.0,
+                        grid_cell_size_m=1.0, grid_cell_capacity=16,
+                        max_correspondence_dist_m=3.0)
+        solve = jax.jit(lambda rd, c=cfg: icp_mod.icp(
+            rd, ref, normals, se3.identity(), c))
+        # Warm up (compile).
+        r0 = jax.block_until_ready(solve(readings[0]))
+        t0 = time.perf_counter()
+        iters = []
+        for rd in readings:
+            res = solve(rd)
+            iters.append(res.iterations)
+        jax.block_until_ready(iters)
+        dt = time.perf_counter() - t0
+        results[matcher] = N_SOLVES / dt
+        extras[f'tpu_{matcher}_pairs_per_sec'] = round(N_SOLVES / dt, 2)
+        extras[f'tpu_{matcher}_mean_iters'] = round(
+            float(np.mean([int(i) for i in iters])), 1)
+
+    # Batched fleet throughput (production serving mode): vmap lanes.
+    B = 8
+    cfg_b = IcpConfig(matcher='brute', reading_capacity=READ_N,
+                      reading_sampling_ratio=1.0)
+    batch_pts = jnp.stack([r.points for r in readings[:B]])
+    batch_mask = jnp.stack([r.mask for r in readings[:B]])
+    vsolve = jax.jit(jax.vmap(lambda p, m: icp_mod.icp_point_to_plane(
+        pc.Cloud(p, m), ref, normals, se3.identity(), cfg_b)))
+    jax.block_until_ready(vsolve(batch_pts, batch_mask))
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        out = vsolve(batch_pts, batch_mask)
+    jax.block_until_ready(out)
+    batch_rate = B * reps / (time.perf_counter() - t0)
+    extras['tpu_batch8_pairs_per_sec'] = round(batch_rate, 2)
+
+    tpu_best = max(max(results.values()), batch_rate)
+
+    # CPU baseline (same workload, single thread, kd-tree matcher).
+    cpu_mean_s, cpu_iters = bench_cpu(rng, world, ref_np, normals_np,
+                                      readings_np, n_runs=3)
+    cpu_rate = 1.0 / cpu_mean_s
+    extras['cpu_kdtree_pairs_per_sec'] = round(cpu_rate, 3)
+    extras['cpu_mean_iters'] = round(cpu_iters, 1)
+
+    # Incremental GN solve at a 10k-pose graph.
+    NP_ = 10_000
+    g = fg.HostGraph(rel_capacity=1 << 15, prior_capacity=16)
+    poses = np.zeros((1 << 14, 7), np.float32)
+    poses[:, 0] = 1.0
+    xs = np.cumsum(rng.normal(size=NP_).astype(np.float32) * 0 + 1.0)
+    poses[:NP_, 4] = xs - 1.0
+    g.add_prior(0, poses[0], np.full(6, 1e-7, np.float32))
+    sig = np.full(6, 0.01, np.float32)
+    step = np.array([1, 0, 0, 0, 1, 0, 0], np.float32)
+    for i in range(NP_ - 1):
+        g.add_relative(i, i + 1, step, sig)
+    for i in range(0, NP_ - 100, 500):  # periodic loop closures
+        lc = np.array([1, 0, 0, 0, 100, 0, 0], np.float32)
+        g.add_relative(i, i + 100, lc, sig)
+    mask = np.zeros((1 << 14,), bool)
+    mask[:NP_] = True
+    scfg = SolverConfig(gn_iterations=3, pcg_iterations=32)
+    data = g.to_device()
+    jposes, jmask = jnp.asarray(poses), jnp.asarray(mask)
+    out = jax.block_until_ready(sv.solve(data, jposes, jmask, scfg))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = sv.solve(data, jposes, jmask, scfg)
+    jax.block_until_ready(out)
+    extras['tpu_gn_solve_10k_ms'] = round(
+        (time.perf_counter() - t0) / 5 * 1e3, 2)
+
+    print(json.dumps({
+        'metric': 'ICP scan-pairs/sec (64k ref, 8k reading, pt-to-plane)',
+        'value': round(tpu_best, 2),
+        'unit': 'pairs/s',
+        'vs_baseline': round(tpu_best / cpu_rate, 2),
+        **extras,
+    }))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -202,10 +202,14 @@ def voxel_filter(cloud: Cloud, voxel_size_m: float,
 
 
 def _hash_cells(cell_ijk, capacity: int) -> jax.Array:
-    """Spatial hash of integer cells [...,3] -> [0, capacity)."""
+    """Spatial hash of integer cells [...,3] -> [0, capacity).
+
+    Unsigned modulo — abs() would fold sign-symmetric cells onto the same
+    bucket (systematic collisions for scenes straddling the origin).
+    """
     p1, p2, p3 = jnp.int32(73856093), jnp.int32(19349663), jnp.int32(83492791)
     h = (cell_ijk[..., 0] * p1) ^ (cell_ijk[..., 1] * p2) ^ (cell_ijk[..., 2] * p3)
-    return jnp.abs(h) % capacity
+    return (h.astype(jnp.uint32) % jnp.uint32(capacity)).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,106 @@
+"""Multi-chip sharding of the fleet SLAM step over a jax Mesh.
+
+The reference has no distributed backend to port (its transport is ROS
+pub/sub inside one host — SURVEY §2); scaling here is designed TPU-first:
+
+* **dp (fleet/data parallel)** — independent trajectories sharded across
+  chips; zero cross-chip traffic during ICP, one all-reduce-free batched
+  solve per lane group.
+* **sp (point/sequence parallel)** — each scan's point axis sharded
+  across chips: every chip matches its point shard against the
+  (replicated) reference and the 6x6 Gauss-Newton normal equations are
+  reduced across shards — XLA inserts the psum over ICI from the sharding
+  annotations alone.
+
+Use :func:`make_mesh` + :func:`fleet_slam_step` for the jitted multi-chip
+step; the driver's ``dryrun_multichip`` entry exercises it on a virtual
+device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from laser_slam_tpu.config import IcpConfig, SolverConfig
+from laser_slam_tpu.parallel import fleet as fleet_mod
+from laser_slam_tpu.ops import se3
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              sp: Optional[int] = None) -> Mesh:
+    """Build a (dp, sp) mesh over the available devices.
+
+    Default split: as many fleet (dp) shards as possible with sp=2 point
+    shards when the device count allows.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if dp is None or sp is None:
+        sp = 2 if n % 2 == 0 and n > 1 else 1
+        dp = n // sp
+    return Mesh(np.asarray(devices).reshape(dp, sp), ('dp', 'sp'))
+
+
+def fleet_slam_step(mesh: Mesh, icp_config: IcpConfig,
+                    solver_config: SolverConfig):
+    """Compile the full fleet SLAM step (ICP odometry chain + batched
+    pose-graph solve) sharded over ``mesh``.
+
+    Returns a function
+    ``step(points[B,T,N,3], masks, normals, init_pose[B,7], odom_rel[B,T,7],
+    odo_sigmas[6]) -> (poses[B,T,7], solve_result)`` with:
+      - lanes sharded over dp,
+      - scan point axes sharded over sp (NN + GN reductions psum over ICI),
+      - trajectory/solve replicated over sp, sharded over dp.
+    """
+
+    def _step(points, masks, normals, init_pose, odom_rel, odo_sigmas):
+        # Constrain point-axis sharding so XLA parallelizes the NN sweep
+        # across sp and inserts the psum for the 6x6 GN reductions.
+        pspec = P('dp', None, 'sp', None)
+        points = jax.lax.with_sharding_constraint(
+            points, NamedSharding(mesh, pspec))
+        masks = jax.lax.with_sharding_constraint(
+            masks, NamedSharding(mesh, P('dp', None, 'sp')))
+        normals = jax.lax.with_sharding_constraint(
+            normals, NamedSharding(mesh, pspec))
+
+        odo = fleet_mod.fleet_icp_odometry(
+            points, masks, normals, init_pose, odom_rel, icp_config)
+        graphs, pose_mask = fleet_mod.build_fleet_chain_graphs(
+            odo.rel_icp, odo.valid, init_pose, odo_sigmas)
+        result = fleet_mod.fleet_solve(graphs, odo.poses, pose_mask,
+                                       solver_config)
+        poses = jax.lax.with_sharding_constraint(
+            result.poses, NamedSharding(mesh, P('dp', None, None)))
+        return poses, result
+
+    in_shardings = (
+        NamedSharding(mesh, P('dp', None, 'sp', None)),   # points
+        NamedSharding(mesh, P('dp', None, 'sp')),          # masks
+        NamedSharding(mesh, P('dp', None, 'sp', None)),    # normals
+        NamedSharding(mesh, P('dp', None)),                # init_pose
+        NamedSharding(mesh, P('dp', None, None)),          # odom_rel
+        NamedSharding(mesh, P()),                          # sigmas
+    )
+    return jax.jit(_step, in_shardings=in_shardings)
+
+
+def shard_fleet_inputs(mesh: Mesh, points, masks, normals, init_pose,
+                       odom_rel):
+    """Device-put fleet inputs with the step's shardings."""
+    put = jax.device_put
+    return (
+        put(points, NamedSharding(mesh, P('dp', None, 'sp', None))),
+        put(masks, NamedSharding(mesh, P('dp', None, 'sp'))),
+        put(normals, NamedSharding(mesh, P('dp', None, 'sp', None))),
+        put(init_pose, NamedSharding(mesh, P('dp', None))),
+        put(odom_rel, NamedSharding(mesh, P('dp', None, None))),
+    )

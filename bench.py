@@ -155,7 +155,7 @@ def main():
     extras['device'] = str(device)
 
     results = {}
-    for matcher in ('brute', 'grid'):
+    for matcher in ('projective', 'pallas', 'brute', 'grid'):
         cfg = IcpConfig(matcher=matcher, reading_capacity=READ_N,
                         reading_sampling_ratio=1.0,
                         grid_cell_size_m=1.0, grid_cell_capacity=16,
@@ -178,7 +178,7 @@ def main():
 
     # Batched fleet throughput (production serving mode): vmap lanes.
     B = 8
-    cfg_b = IcpConfig(matcher='brute', reading_capacity=READ_N,
+    cfg_b = IcpConfig(matcher='projective', reading_capacity=READ_N,
                       reading_sampling_ratio=1.0)
     batch_pts = jnp.stack([r.points for r in readings[:B]])
     batch_mask = jnp.stack([r.mask for r in readings[:B]])

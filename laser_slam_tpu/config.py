@@ -50,12 +50,20 @@ class IcpConfig:
     min_diff_rot: float = 0.001
     min_diff_trans: float = 0.01
     smooth_length: int = 4
-    # Correspondence engine: 'brute' = exact MXU-tiled NN (kd-tree parity),
-    # 'grid' = voxel-hash approximate NN (faster for big submaps).
+    # Correspondence engine:
+    #   'brute'      exact MXU-tiled NN (kd-tree parity)
+    #   'pallas'     exact NN via the fused Pallas payload kernel
+    #   'grid'       voxel-hash approximate NN
+    #   'projective' spherical range-image association (LOAM/KISS-ICP
+    #                style) — the fast path for LiDAR scan matching
     matcher: str = 'brute'
     grid_cell_size_m: float = 1.0
     grid_cell_capacity: int = 16
     max_correspondence_dist_m: float = 3.0
+    range_image_rows: int = 64
+    range_image_cols: int = 1024
+    range_image_elev_min: float = -0.45
+    range_image_elev_max: float = 0.25
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,145 @@
+"""ctypes bindings for the native IO runtime (liblaserslamio.so).
+
+Auto-builds with ``make`` on first import if a compiler is available;
+falls back to pure-numpy implementations otherwise (``HAVE_NATIVE``
+tells you which path is active).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, 'liblaserslamio.so')
+
+_lib = None
+
+
+def _try_load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(['make', '-C', _DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.decode_kitti_bin.restype = ctypes.c_long
+    lib.decode_kitti_bin.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.c_long]
+    lib.voxel_downsample.restype = ctypes.c_long
+    lib.voxel_downsample.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                     ctypes.c_long, ctypes.c_float,
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.c_long]
+    lib.loader_open.restype = ctypes.c_void_p
+    lib.loader_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                ctypes.c_long, ctypes.c_long,
+                                ctypes.c_float, ctypes.c_long]
+    lib.loader_next.restype = ctypes.c_long
+    lib.loader_next.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.c_long,
+                                ctypes.POINTER(ctypes.c_long)]
+    lib.loader_close.restype = None
+    lib.loader_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+HAVE_NATIVE = _try_load() is not None
+
+
+def decode_kitti_bin(path: str, max_points: int = 200_000) -> np.ndarray:
+    """Decode a KITTI velodyne .bin to [N,3] xyz float32."""
+    lib = _try_load()
+    if lib is None:
+        raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        return raw[:max_points, :3].copy()
+    out = np.empty((max_points, 3), np.float32)
+    n = lib.decode_kitti_bin(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_points)
+    if n < 0:
+        raise FileNotFoundError(path)
+    return out[:n]
+
+
+def voxel_downsample(points: np.ndarray, cell: float) -> np.ndarray:
+    """Host-side first-point-per-voxel downsample."""
+    points = np.ascontiguousarray(points, np.float32)
+    lib = _try_load()
+    if lib is None:
+        cells = np.floor(points / cell).astype(np.int64)
+        _, idx = np.unique(cells, axis=0, return_index=True)
+        return points[np.sort(idx)]
+    out = np.empty_like(points)
+    m = lib.voxel_downsample(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(points), cell,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(points))
+    return out[:m]
+
+
+class PrefetchLoader:
+    """Background-thread scan loader: decode (+ optional host voxel
+    pre-filter) of a file list into a ring buffer.
+
+    Iterates (index, points[N,3]) in order.  Uses the native SPSC loader
+    when available; otherwise a synchronous fallback.
+    """
+
+    def __init__(self, paths: Sequence[str], max_points: int = 200_000,
+                 voxel_cell: float = 0.0, depth: int = 4):
+        self._paths = list(paths)
+        self._max_points = max_points
+        self._voxel_cell = voxel_cell
+        self._lib = _try_load()
+        self._handle = None
+        if self._lib is not None:
+            arr = (ctypes.c_char_p * len(self._paths))(
+                *[p.encode() for p in self._paths])
+            self._handle = self._lib.loader_open(
+                arr, len(self._paths), max_points,
+                ctypes.c_float(voxel_cell), depth)
+
+    def __iter__(self):
+        if self._handle is not None:
+            buf = np.empty((self._max_points, 3), np.float32)
+            idx = ctypes.c_long()
+            while True:
+                n = self._lib.loader_next(
+                    self._handle,
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    self._max_points, ctypes.byref(idx))
+                if idx.value < 0:
+                    break
+                yield int(idx.value), buf[:n].copy()
+        else:
+            for i, p in enumerate(self._paths):
+                pts = decode_kitti_bin(p, self._max_points)
+                if self._voxel_cell > 0:
+                    pts = voxel_downsample(pts, self._voxel_cell)
+                yield i, pts
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.loader_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

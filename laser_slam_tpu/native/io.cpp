@@ -1,0 +1,198 @@
+// Native host-side IO runtime for laser_slam_tpu.
+//
+// The reference's runtime layer is C++ (ROS transport + libpointmatcher
+// DataPoints IO); the TPU-native equivalent is this library: fast scan-log
+// decoding and a threaded prefetching loader that keeps the device fed
+// without Python overhead on the ingest path.
+//
+//   * decode_kitti_bin: KITTI velodyne .bin (x,y,z,reflectance f32) -> xyz
+//   * voxel_downsample: host-side hash-grid downsample (pre-filter before
+//     transfer, replaces the PCL VoxelGrid pre-pass for ingest)
+//   * prefetch loader: background thread decoding scans into a ring
+//     buffer (SPSC) so Python sees zero-latency `next()` calls.
+//
+// Build: make -C laser_slam_tpu/native   (produces liblaserslamio.so)
+// Python binding: ctypes (laser_slam_tpu/native/__init__.py), with a
+// pure-numpy fallback when the library is absent.
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Scan decoding
+// ---------------------------------------------------------------------------
+
+// Decode a KITTI .bin file (N x 4 f32). Returns number of points, fills
+// out_xyz (caller-allocated, capacity floats >= 3*max_points). Returns -1
+// on IO error.
+long decode_kitti_bin(const char* path, float* out_xyz, long max_points) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long bytes = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  long n = bytes / (4 * sizeof(float));
+  if (n > max_points) n = max_points;
+  std::vector<float> buf(static_cast<size_t>(n) * 4);
+  size_t got = std::fread(buf.data(), sizeof(float), buf.size(), f);
+  std::fclose(f);
+  n = static_cast<long>(got / 4);
+  for (long i = 0; i < n; ++i) {
+    out_xyz[3 * i + 0] = buf[4 * i + 0];
+    out_xyz[3 * i + 1] = buf[4 * i + 1];
+    out_xyz[3 * i + 2] = buf[4 * i + 2];
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Host-side voxel downsample (first-point-per-voxel, like ops/cloud.py)
+// ---------------------------------------------------------------------------
+
+long voxel_downsample(const float* xyz, long n, float cell,
+                      float* out_xyz, long max_out) {
+  std::unordered_set<uint64_t> seen;
+  seen.reserve(static_cast<size_t>(n));
+  long m = 0;
+  const float inv = 1.0f / cell;
+  for (long i = 0; i < n && m < max_out; ++i) {
+    // 21-bit signed cell coordinates packed into 63 bits.
+    int64_t cx = static_cast<int64_t>(std::floor(xyz[3 * i + 0] * inv));
+    int64_t cy = static_cast<int64_t>(std::floor(xyz[3 * i + 1] * inv));
+    int64_t cz = static_cast<int64_t>(std::floor(xyz[3 * i + 2] * inv));
+    uint64_t key = ((static_cast<uint64_t>(cx) & 0x1FFFFF) << 42) |
+                   ((static_cast<uint64_t>(cy) & 0x1FFFFF) << 21) |
+                   (static_cast<uint64_t>(cz) & 0x1FFFFF);
+    if (seen.insert(key).second) {
+      out_xyz[3 * m + 0] = xyz[3 * i + 0];
+      out_xyz[3 * m + 1] = xyz[3 * i + 1];
+      out_xyz[3 * m + 2] = xyz[3 * i + 2];
+      ++m;
+    }
+  }
+  return m;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded prefetching scan loader (SPSC ring buffer)
+// ---------------------------------------------------------------------------
+
+struct Slot {
+  std::vector<float> xyz;
+  long n_points = 0;
+  long index = -1;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  long max_points;
+  float voxel_cell;  // <= 0 disables the host pre-filter
+  size_t depth;
+  std::vector<Slot> ring;
+  std::atomic<long> head{0};   // next slot the producer fills
+  std::atomic<long> tail{0};   // next slot the consumer reads
+  std::atomic<bool> stop{false};
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv_produce, cv_consume;
+
+  void run() {
+    std::vector<float> tmp(static_cast<size_t>(max_points) * 3);
+    for (size_t i = 0; i < paths.size() && !stop.load(); ++i) {
+      long n = decode_kitti_bin(paths[i].c_str(), tmp.data(), max_points);
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_produce.wait(lk, [&] {
+          return stop.load() ||
+                 head.load() - tail.load() < static_cast<long>(depth);
+        });
+        if (stop.load()) return;
+        Slot& s = ring[head.load() % depth];
+        if (n <= 0) {
+          s.n_points = 0;
+        } else if (voxel_cell > 0.0f) {
+          s.xyz.resize(static_cast<size_t>(n) * 3);
+          s.n_points = voxel_downsample(tmp.data(), n, voxel_cell,
+                                        s.xyz.data(), n);
+        } else {
+          s.xyz.assign(tmp.begin(), tmp.begin() + n * 3);
+          s.n_points = n;
+        }
+        s.index = static_cast<long>(i);
+        head.fetch_add(1);
+      }
+      cv_consume.notify_one();
+    }
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_produce.wait(lk, [&] {
+        return stop.load() ||
+               head.load() - tail.load() < static_cast<long>(depth);
+      });
+      if (stop.load()) return;
+      Slot& s = ring[head.load() % depth];
+      s.index = -2;  // end-of-stream marker
+      s.n_points = 0;
+      head.fetch_add(1);
+    }
+    cv_consume.notify_one();
+  }
+};
+
+void* loader_open(const char** paths, long n_paths, long max_points,
+                  float voxel_cell, long depth) {
+  Loader* L = new Loader();
+  for (long i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
+  L->max_points = max_points;
+  L->voxel_cell = voxel_cell;
+  L->depth = static_cast<size_t>(depth > 0 ? depth : 4);
+  L->ring.resize(L->depth);
+  L->worker = std::thread([L] { L->run(); });
+  return L;
+}
+
+// Blocks until the next scan is ready. Returns point count (0 at
+// end-of-stream), fills out_xyz and out_index.
+long loader_next(void* handle, float* out_xyz, long max_points,
+                 long* out_index) {
+  Loader* L = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_consume.wait(lk, [&] { return L->head.load() > L->tail.load(); });
+  Slot& s = L->ring[L->tail.load() % L->depth];
+  long n = s.n_points;
+  if (n > max_points) n = max_points;
+  if (s.index == -2) {
+    *out_index = -1;
+    L->tail.fetch_add(1);
+    return 0;
+  }
+  std::memcpy(out_xyz, s.xyz.data(),
+              static_cast<size_t>(n) * 3 * sizeof(float));
+  *out_index = s.index;
+  L->tail.fetch_add(1);
+  lk.unlock();
+  L->cv_produce.notify_one();
+  return n;
+}
+
+void loader_close(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  L->stop.store(true);
+  L->cv_produce.notify_all();
+  if (L->worker.joinable()) L->worker.join();
+  delete L;
+}
+
+}  // extern "C"

@@ -105,6 +105,9 @@ def icp_point_to_plane(
     frame (precompute with :func:`cloud.estimate_normals`).  When ``grid``
     is provided the voxel-hash matcher is used, otherwise exact brute NN.
     """
+    if config.matcher not in ('brute', 'pallas', 'grid', 'projective'):
+        raise ValueError(f'unknown ICP matcher {config.matcher!r}; expected '
+                         "'brute', 'pallas', 'grid' or 'projective'")
     max_corr2 = config.max_correspondence_dist_m ** 2
     smooth = config.smooth_length
 
@@ -118,10 +121,37 @@ def icp_point_to_plane(
     ref_ext_mask = jnp.concatenate(
         [reference.mask, jnp.zeros((1,), bool)], axis=0)
 
-    def match(p_world):
-        if grid is not None:
-            return nb.nn_grid(p_world, reference, grid)
-        return nb.nn_brute(p_world, reference.points)
+    if config.matcher == 'projective' and grid is None:
+        from laser_slam_tpu.ops import range_image as ri
+        image = ri.build_range_image(
+            reference, ref_normals,
+            rows=config.range_image_rows, cols=config.range_image_cols,
+            elev_min=config.range_image_elev_min,
+            elev_max=config.range_image_elev_max)
+
+        def match_payload(p_world):
+            q, n, d2 = ri.nn_projective(p_world, image)
+            return q, n, d2, reading.mask
+    elif config.matcher == 'pallas' and grid is None:
+        from laser_slam_tpu.ops import pallas_nn
+        # Payload = [point, normal]; parked reference points carry huge
+        # |r|^2 scores and can never win, so no mask gather is needed.
+        payload = jnp.concatenate([reference.points, ref_normals], axis=1)
+        interpret = not pallas_nn.on_tpu()
+
+        def match_payload(p_world):
+            d2, pay = pallas_nn.nn_payload_pruned(
+                p_world, reference.points, payload, interpret=interpret)
+            return pay[:, :3], pay[:, 3:6], d2, reading.mask
+    else:
+        def match_payload(p_world):
+            if grid is not None:
+                idx, d2 = nb.nn_grid(p_world, reference, grid)
+            else:
+                idx, d2 = nb.nn_brute(p_world, reference.points)
+            idx = jnp.clip(idx, 0, reference.capacity)
+            return (ref_ext_pts[idx], ref_ext_normals[idx], d2,
+                    reading.mask & ref_ext_mask[idx])
 
     def cond(state):
         T, it, hist, done, *_ = state
@@ -130,15 +160,12 @@ def icp_point_to_plane(
     def body(state):
         T, it, hist, done, _, _ = state
         p_world = se3.apply(T, reading.points)
-        idx, d2 = match(p_world)
-        idx = jnp.clip(idx, 0, reference.capacity)
-        valid = (reading.mask & ref_ext_mask[idx] & (d2 <= max_corr2))
+        q, n, d2, base_valid = match_payload(p_world)
+        valid = base_valid & (d2 <= max_corr2)
         inlier = _trim_mask(d2, valid, config.trimmed_dist_ratio)
         w = inlier.astype(p_world.dtype)
         n_in = jnp.sum(inlier)
 
-        q = ref_ext_pts[idx]
-        n = ref_ext_normals[idx]
         delta, r = _gauss_newton_step(p_world, q, n, w)
 
         enough = n_in >= MIN_INLIERS

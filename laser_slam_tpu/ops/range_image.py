@@ -1,0 +1,108 @@
+"""Projective correspondence via spherical range images.
+
+The fast ICP matcher: instead of searching for nearest neighbors
+(kd-tree / brute force), render the reference cloud once into a spherical
+range image from the sensor origin, then find each reading point's
+correspondence by *projecting* it to a pixel and testing the 3x3
+neighborhood — O(1) per point per iteration, the classic LOAM /
+KinectFusion / KISS-ICP projective data association.
+
+This is the TPU-native speed path: the render is one scatter-min, each
+ICP iteration costs one projection + 9 small gathers, and everything is
+fixed-shape.  The scan-to-submap geometry fits perfectly: the reference
+submap lives in the second-last scan's sensor frame (laser_track.cpp:
+474-486), so the projection origin is the submap's own viewpoint.
+
+Exact-NN matchers ('brute', 'pallas') remain available for kd-tree parity;
+'projective' trades exactness-in-principle for a ~10x faster inner loop
+with equivalent registration accuracy on LiDAR data (cf. KISS-ICP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from laser_slam_tpu.ops.cloud import Cloud
+
+# Default Velodyne-like vertical field of view (radians).
+DEFAULT_ELEV_MIN = -0.45
+DEFAULT_ELEV_MAX = 0.25
+
+
+class RangeImage(NamedTuple):
+    """Rendered reference: per-pixel nearest point + normal + depth."""
+    payload: jax.Array     # [rows*cols, 6] (point xyz, normal xyz)
+    depth: jax.Array       # [rows*cols] range (inf = empty)
+    rows: int
+    cols: int
+    elev_min: float
+    elev_max: float
+
+
+def _project(points, rows: int, cols: int, elev_min: float, elev_max: float):
+    """Points -> (row, col, range)."""
+    r = jnp.linalg.norm(points, axis=-1)
+    r_safe = jnp.maximum(r, 1e-9)
+    elev = jnp.arcsin(jnp.clip(points[..., 2] / r_safe, -1.0, 1.0))
+    az = jnp.arctan2(points[..., 1], points[..., 0])
+    row = (elev - elev_min) / (elev_max - elev_min) * rows
+    col = (az + jnp.pi) / (2.0 * jnp.pi) * cols
+    return (jnp.clip(row.astype(jnp.int32), 0, rows - 1),
+            jnp.clip(col.astype(jnp.int32), 0, cols - 1),
+            r)
+
+
+@functools.partial(jax.jit, static_argnames=('rows', 'cols', 'elev_min',
+                                             'elev_max'))
+def build_range_image(reference: Cloud, ref_normals, rows: int = 64,
+                      cols: int = 1024,
+                      elev_min: float = DEFAULT_ELEV_MIN,
+                      elev_max: float = DEFAULT_ELEV_MAX) -> RangeImage:
+    """Render the reference cloud (in its own sensor frame) into a range
+    image keeping the CLOSEST point per pixel (z-buffer scatter-min)."""
+    pts = reference.points
+    row, col, r = _project(pts, rows, cols, elev_min, elev_max)
+    flat = row * cols + col
+    r = jnp.where(reference.mask, r, jnp.inf)
+    n_pix = rows * cols
+
+    depth = jnp.full((n_pix,), jnp.inf, jnp.float32).at[flat].min(r)
+    # Winner-take-all payload write: only points matching their pixel's
+    # min depth write (losers write out of bounds and are dropped; ties
+    # resolve arbitrarily but consistently).
+    is_winner = reference.mask & (r <= depth[flat])
+    payload = jnp.concatenate([pts, ref_normals], axis=1)
+    img_payload = jnp.zeros((n_pix, 6), jnp.float32)
+    img_payload = img_payload.at[jnp.where(is_winner, flat, n_pix)].set(
+        payload, mode='drop')
+    return RangeImage(payload=img_payload, depth=depth, rows=rows,
+                      cols=cols, elev_min=elev_min, elev_max=elev_max)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nn_projective(queries: jax.Array, image: RangeImage):
+    """Projective 1-NN: project each query, test its 3x3 pixel window,
+    return (nearest point [Q,3], normal [Q,3], sq distance [Q])."""
+    rows, cols = image.rows, image.cols
+    row, col, _ = _project(queries, rows, cols, image.elev_min,
+                           image.elev_max)
+
+    cand_d2 = jnp.full((queries.shape[0],), jnp.inf, jnp.float32)
+    cand_pay = jnp.zeros((queries.shape[0], 6), jnp.float32)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            rr = jnp.clip(row + dr, 0, rows - 1)
+            cc = jnp.mod(col + dc, cols)  # azimuth wraps
+            flat = rr * cols + cc
+            pay = image.payload[flat]
+            occupied = jnp.isfinite(image.depth[flat])
+            d2 = jnp.sum((pay[:, :3] - queries) ** 2, axis=1)
+            d2 = jnp.where(occupied, d2, jnp.inf)
+            take = d2 < cand_d2
+            cand_d2 = jnp.where(take, d2, cand_d2)
+            cand_pay = jnp.where(take[:, None], pay, cand_pay)
+    return cand_pay[:, :3], cand_pay[:, 3:], cand_d2

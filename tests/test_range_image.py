@@ -1,0 +1,84 @@
+"""Range-image projective correspondence tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from laser_slam_tpu.config import IcpConfig
+from laser_slam_tpu.ops import cloud as pc
+from laser_slam_tpu.ops import icp as icp_mod
+from laser_slam_tpu.ops import range_image as ri
+from laser_slam_tpu.ops import se3
+
+
+def lidar_scene(rng, n=2048):
+    """Cylindrical-wall scene seen from the origin (LiDAR-like geometry)."""
+    az = rng.uniform(-np.pi, np.pi, n)
+    r = rng.uniform(8, 25, n)
+    z = rng.uniform(-1.0, 2.0, n)
+    return np.stack([r * np.cos(az), r * np.sin(az), z], 1).astype(
+        np.float32)
+
+
+def test_render_and_query_self(rng):
+    pts = lidar_scene(rng)
+    ref = pc.make_cloud(pts, capacity=2048)
+    normals = pc.estimate_normals(ref, knn=8)
+    img = ri.build_range_image(ref, normals, rows=32, cols=512)
+    # Query with the reference itself: the correspondence should be the
+    # point itself (d2 ~ 0) for pixel-winning points.
+    q, n, d2 = ri.nn_projective(ref.points, img)
+    frac_exact = np.mean(np.asarray(d2) < 1e-6)
+    assert frac_exact > 0.5, frac_exact
+    # Non-winners still find a close neighbor through the 3x3 window.
+    assert np.median(np.asarray(d2)) < 1.0
+
+
+def test_projective_matches_displaced_points(rng):
+    pts = lidar_scene(rng)
+    ref = pc.make_cloud(pts, capacity=2048)
+    normals = pc.estimate_normals(ref, knn=8)
+    img = ri.build_range_image(ref, normals, rows=32, cols=512)
+    queries = jnp.asarray(pts + rng.normal(size=pts.shape).astype(
+        np.float32) * 0.05)
+    q, n, d2 = ri.nn_projective(queries, img)
+    # Most queries find a correspondence within tens of cm (the image is
+    # sparse for this synthetic scene: 2k points over 16k pixels).
+    assert np.mean(np.sqrt(np.asarray(d2)) < 0.5) > 0.8
+
+
+def test_icp_projective_recovers_transform(rng):
+    pts = lidar_scene(rng, n=4096)
+    ref = pc.make_cloud(pts, capacity=4096)
+    normals = pc.estimate_normals(ref, knn=10)
+    T_true = se3.exp(jnp.asarray([0.01, -0.01, 0.03, 0.3, -0.2, 0.05],
+                                 jnp.float32))
+    reading = pc.transform(se3.inverse(T_true), ref)
+    cfg = IcpConfig(matcher='projective', range_image_rows=32,
+                    range_image_cols=512,
+                    range_image_elev_min=-0.3, range_image_elev_max=0.3)
+    res = icp_mod.icp(reading, ref, normals, se3.identity(), cfg)
+    assert bool(res.valid)
+    err_t = np.linalg.norm(np.asarray(
+        se3.translation(res.T) - se3.translation(T_true)))
+    err_r = float(se3.rotation_angle(res.T, T_true))
+    assert err_t < 0.02, err_t
+    assert err_r < 0.01, err_r
+
+
+def test_projective_parity_with_brute(rng):
+    """The fast path must agree with the exact matcher's ICP result."""
+    pts = lidar_scene(rng, n=4096)
+    ref = pc.make_cloud(pts, capacity=4096)
+    normals = pc.estimate_normals(ref, knn=10)
+    T_true = se3.exp(jnp.asarray([0, 0, 0.02, 0.2, 0.1, 0.0], jnp.float32))
+    reading = pc.transform(se3.inverse(T_true), ref)
+    cfg_p = IcpConfig(matcher='projective', range_image_rows=32,
+                      range_image_cols=512,
+                      range_image_elev_min=-0.3, range_image_elev_max=0.3)
+    cfg_b = IcpConfig(matcher='brute')
+    res_p = icp_mod.icp(reading, ref, normals, se3.identity(), cfg_p)
+    res_b = icp_mod.icp(reading, ref, normals, se3.identity(), cfg_b)
+    # Both near ground truth and within mm/mrad of each other.
+    d = np.linalg.norm(np.asarray(se3.translation(res_p.T) -
+                                  se3.translation(res_b.T)))
+    assert d < 5e-3, d

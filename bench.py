@@ -219,6 +219,9 @@ def main():
         g.add_relative(i, i + 100, lc, sig)
     mask = np.zeros((1 << 14,), bool)
     mask[:NP_] = True
+    # Perturb the initialization so the solve does real work (an
+    # at-optimum graph lets PCG exit immediately and flatters the number).
+    poses[:NP_, 4:] += rng.normal(size=(NP_, 3)).astype(np.float32) * 0.05
     scfg = SolverConfig(gn_iterations=3, pcg_iterations=32)
     data = g.to_device()
     jposes, jmask = jnp.asarray(poses), jnp.asarray(mask)

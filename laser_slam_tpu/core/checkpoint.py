@@ -1,0 +1,212 @@
+"""Checkpoint / resume for the full SLAM state.
+
+The reference has export-only paths (trajectory CSV dumps and the
+GetLaserTrackSrv snapshot, laser_slam_worker.cpp:260-317,551-603) but no
+reload (SURVEY §5).  Here checkpointing is first-class: the complete
+estimator + track + worker state round-trips through one ``.npz`` file —
+graph factors, pose table, trajectories, measurement logs, scans (with
+normals), scan rings, multi-robot link bookkeeping, and worker map state
+— so a crashed or suspended run resumes exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from laser_slam_tpu.config import Config
+from laser_slam_tpu.core.estimator import IncrementalEstimator
+from laser_slam_tpu.core.types import LaserScan, Pose, RelativePose
+from laser_slam_tpu.ops import cloud as pc
+
+_FORMAT_VERSION = 1
+
+
+def _relposes_to_array(rels: Sequence[RelativePose]) -> np.ndarray:
+    out = np.zeros((len(rels), 13), np.float64)
+    for i, r in enumerate(rels):
+        out[i, :7] = r.T_a_b
+        out[i, 7:13] = (r.time_a_ns, r.time_b_ns, r.key_a, r.key_b,
+                        r.track_id_a, r.track_id_b)
+    return out
+
+
+def _relposes_from_array(arr: np.ndarray) -> List[RelativePose]:
+    return [RelativePose(T_a_b=row[:7].astype(np.float32),
+                         time_a_ns=int(row[7]), time_b_ns=int(row[8]),
+                         key_a=int(row[9]), key_b=int(row[10]),
+                         track_id_a=int(row[11]), track_id_b=int(row[12]))
+            for row in arr]
+
+
+def save_checkpoint(path: str, estimator: IncrementalEstimator,
+                    workers: Optional[Sequence] = None,
+                    include_scans: bool = True) -> None:
+    data = {'format_version': _FORMAT_VERSION,
+            'n_workers': estimator.n_workers,
+            'n_keys': estimator._n_keys,
+            'poses': estimator._poses[:estimator._n_keys],
+            'linked_workers_flat': np.asarray(
+                [w for g in estimator._linked_workers for w in g], np.int64),
+            'linked_workers_sizes': np.asarray(
+                [len(g) for g in estimator._linked_workers], np.int64),
+            'prior_factor_keys': np.asarray(
+                list(estimator._prior_factor_of_worker.keys()), np.int64),
+            'prior_factor_vals': np.asarray(
+                list(estimator._prior_factor_of_worker.values()), np.int64)}
+
+    g = estimator.graph
+    data.update(
+        g_n_rel=g.n_rel, g_n_prior=g.n_prior,
+        g_rel_meas=g.rel_meas[:g.n_rel], g_rel_keys=g.rel_keys[:g.n_rel],
+        g_rel_sqrt_info=g.rel_sqrt_info[:g.n_rel],
+        g_rel_robust=g.rel_robust[:g.n_rel],
+        g_rel_fixed_a=g.rel_fixed_a[:g.n_rel],
+        g_rel_weight=g.rel_weight[:g.n_rel],
+        g_prior_meas=g.prior_meas[:g.n_prior],
+        g_prior_keys=g.prior_keys[:g.n_prior],
+        g_prior_sqrt_info=g.prior_sqrt_info[:g.n_prior],
+        g_prior_weight=g.prior_weight[:g.n_prior])
+
+    for i, track in enumerate(estimator.laser_tracks):
+        p = f't{i}_'
+        traj = track.trajectory
+        data[p + 'traj_times'] = traj._times[:traj.size]
+        data[p + 'traj_poses'] = traj._poses[:traj.size]
+        data[p + 'traj_keys'] = traj._keys[:traj.size]
+        data[p + 'pose_meas_times'] = np.asarray(
+            track.pose_measurement_times, np.int64)
+        data[p + 'pose_meas'] = (np.stack(track.pose_measurements)
+                                 if track.pose_measurements
+                                 else np.zeros((0, 7), np.float32))
+        data[p + 'odom'] = _relposes_to_array(track.odometry_measurements)
+        data[p + 'icp'] = _relposes_to_array(track.icp_transformations)
+        data[p + 'lc'] = _relposes_to_array(track.loop_closures)
+        data[p + 'ring_times'] = track._ring_times
+        if include_scans:
+            data[p + 'scan_times'] = np.asarray(
+                [s.time_ns for s in track.scans], np.int64)
+            data[p + 'scan_keys'] = np.asarray(
+                [s.key for s in track.scans], np.int64)
+            if track.scans:
+                data[p + 'scan_points'] = np.stack(
+                    [np.asarray(s.cloud.points) for s in track.scans])
+                data[p + 'scan_masks'] = np.stack(
+                    [np.asarray(s.cloud.mask) for s in track.scans])
+                data[p + 'scan_normals'] = np.stack(
+                    [np.asarray(s.normals) for s in track.scans])
+
+    if workers:
+        for i, w in enumerate(workers):
+            p = f'w{i}_'
+            data[p + 'world_to_odom'] = w.world_to_odom
+            data[p + 'base_time'] = np.int64(
+                w._base_time_ns if w._base_time_ns is not None else -1)
+            data[p + 'last_pose'] = (w._last_pose if w._last_pose is not None
+                                     else np.full(7, np.nan, np.float32))
+            data[p + 'map_points'] = w._map_points[:w._map_count]
+            data[p + 'distant_points'] = w._distant_points
+
+    np.savez_compressed(path, **data)
+
+
+def load_checkpoint(path: str, config: Config,
+                    workers_cls=None):
+    """Rebuild (estimator, workers) from a checkpoint.
+
+    ``workers_cls`` defaults to pipeline.worker.LaserSlamWorker (imported
+    lazily to avoid a cycle); pass None workers if only the estimator is
+    needed.
+    """
+    z = np.load(path, allow_pickle=False)
+    assert int(z['format_version']) == _FORMAT_VERSION
+    n_workers = int(z['n_workers'])
+    est = IncrementalEstimator(config.estimator, n_workers)
+
+    n_keys = int(z['n_keys'])
+    while est._pose_capacity < n_keys:
+        est._pose_capacity *= 2
+    est._poses = np.zeros((est._pose_capacity, 7), np.float32)
+    est._poses[:, 0] = 1.0
+    est._poses[:n_keys] = z['poses']
+    est._n_keys = n_keys
+
+    groups, off = [], 0
+    for size in z['linked_workers_sizes']:
+        groups.append([int(x) for x in
+                       z['linked_workers_flat'][off:off + size]])
+        off += size
+    est._linked_workers = groups
+    est._prior_factor_of_worker = {
+        int(k): int(v) for k, v in zip(z['prior_factor_keys'],
+                                       z['prior_factor_vals'])}
+
+    g = est.graph
+    n_rel, n_prior = int(z['g_n_rel']), int(z['g_n_prior'])
+    while g._rel_cap < n_rel:
+        g._grow_rel()
+    while g._prior_cap < n_prior:
+        g._grow_prior()
+    g.n_rel, g.n_prior = n_rel, n_prior
+    g.rel_meas[:n_rel] = z['g_rel_meas']
+    g.rel_keys[:n_rel] = z['g_rel_keys']
+    g.rel_sqrt_info[:n_rel] = z['g_rel_sqrt_info']
+    g.rel_robust[:n_rel] = z['g_rel_robust']
+    g.rel_fixed_a[:n_rel] = z['g_rel_fixed_a']
+    g.rel_weight[:n_rel] = z['g_rel_weight']
+    g.prior_meas[:n_prior] = z['g_prior_meas']
+    g.prior_keys[:n_prior] = z['g_prior_keys']
+    g.prior_sqrt_info[:n_prior] = z['g_prior_sqrt_info']
+    g.prior_weight[:n_prior] = z['g_prior_weight']
+
+    for i, track in enumerate(est.laser_tracks):
+        p = f't{i}_'
+        times = z[p + 'traj_times']
+        for t, pose, key in zip(times, z[p + 'traj_poses'],
+                                z[p + 'traj_keys']):
+            track.trajectory.extend(int(t), pose, int(key))
+        track.pose_measurement_times = [int(t) for t in
+                                        z[p + 'pose_meas_times']]
+        track.pose_measurements = [row for row in z[p + 'pose_meas']]
+        track.odometry_measurements = _relposes_from_array(z[p + 'odom'])
+        track.icp_transformations = _relposes_from_array(z[p + 'icp'])
+        track.loop_closures = _relposes_from_array(z[p + 'lc'])
+        track._ring_times = z[p + 'ring_times'].copy()
+        if p + 'scan_points' in z:
+            pts = z[p + 'scan_points']
+            msk = z[p + 'scan_masks']
+            nrm = z[p + 'scan_normals']
+            for k in range(len(z[p + 'scan_times'])):
+                track.scans.append(LaserScan(
+                    cloud=pc.Cloud(jnp.asarray(pts[k]), jnp.asarray(msk[k])),
+                    time_ns=int(z[p + 'scan_times'][k]),
+                    key=int(z[p + 'scan_keys'][k]),
+                    normals=jnp.asarray(nrm[k])))
+            # Rebuild the device scan ring from the most recent scans.
+            K = track._ring_points.shape[0]
+            for s in track.scans[-K:]:
+                track._push_ring(s)
+            track._ring_times = z[p + 'ring_times'].copy()
+
+    workers = None
+    if f'w0_world_to_odom' in z:
+        if workers_cls is None:
+            from laser_slam_tpu.pipeline.worker import LaserSlamWorker
+            workers_cls = LaserSlamWorker
+        workers = []
+        for i in range(n_workers):
+            p = f'w{i}_'
+            w = workers_cls(config.worker, est, i)
+            w.world_to_odom = z[p + 'world_to_odom']
+            bt = int(z[p + 'base_time'])
+            w._base_time_ns = None if bt < 0 else bt
+            lp = z[p + 'last_pose']
+            w._last_pose = None if np.isnan(lp[0]) else lp
+            mp = z[p + 'map_points']
+            w._map_points[:len(mp)] = mp
+            w._map_count = len(mp)
+            w._distant_points = z[p + 'distant_points']
+            workers.append(w)
+    return est, workers

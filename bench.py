@@ -233,6 +233,36 @@ def main():
     extras['tpu_gn_solve_10k_ms'] = round(
         (time.perf_counter() - t0) / 5 * 1e3, 2)
 
+    # End-to-end online SLAM throughput (device-resident fast path):
+    # scans/sec through filters + normals + scan-to-submap ICP +
+    # incremental graph solve (the north-star metric's workload).
+    from laser_slam_tpu.config import (EstimatorConfig, InputFilterConfig,
+                                       LaserTrackConfig)
+    from laser_slam_tpu.pipeline import online, replay
+    e2e_cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=5,
+            odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+            icp_noise_model=(0.005,) * 6,
+            input_filters=InputFilterConfig(scan_capacity=16384),
+            icp=IcpConfig(matcher='projective', reading_capacity=8192,
+                          reading_sampling_ratio=0.5)),
+        solver=SolverConfig(gn_iterations=3, pcg_iterations=32))
+    runner = online.OnlineRunner(e2e_cfg, pose_capacity=2048,
+                                 factor_capacity=8192)
+    frames = list(replay.SyntheticStream(
+        n_scans=40, points_per_scan=16384, trajectory='circle',
+        radius_m=20.0, noise_m=0.01, odom_noise=0.005, seed=5))
+    for f in frames[:8]:   # warm-up/compile
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    jax.block_until_ready(runner.state.traj_poses)
+    t0 = time.perf_counter()
+    for f in frames[8:]:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    jax.block_until_ready(runner.state.traj_poses)
+    extras['tpu_e2e_scans_per_sec'] = round(
+        (len(frames) - 8) / (time.perf_counter() - t0), 2)
+
     print(json.dumps({
         'metric': 'ICP scan-pairs/sec (64k ref, 8k reading, pt-to-plane)',
         'value': round(tpu_best, 2),

@@ -20,8 +20,9 @@ Numerical notes:
   dynamic — deactivating the prior (weight=0) unfreezes the pose, which
   reproduces the reference's prior-removal-on-link behavior
   (incremental_estimator.cpp:240-258).
-* Jacobians are exact: per-factor 6x6 blocks from ``jax.jacfwd`` of the
-  residual at a zero right-perturbation, vmapped over factors.
+* Jacobians are analytic (adjoint + inverse-right-Jacobian series, exact
+  at the optimum); the ``jax.jacfwd`` linearization is retained as the
+  test oracle (tests/test_solver.py::test_analytic_jacobians_match_ad).
 """
 
 from __future__ import annotations
@@ -76,6 +77,67 @@ def _prior_linearize(T, meas):
     return r, J
 
 
+# ---------------------------------------------------------------------------
+# Analytic linearization (fast path; jacfwd retained as the test oracle)
+# ---------------------------------------------------------------------------
+
+def _adjoint(pose7):
+    """SE(3) adjoint [6,6] for the [omega, v] tangent convention:
+    Ad(T) = [[R, 0], [[t]x R, R]]."""
+    R = se3.quat_to_matrix(se3.rotation(pose7))
+    t = se3.translation(pose7)
+    tx = se3._hat(t)
+    top = jnp.concatenate([R, jnp.zeros_like(R)], axis=-1)
+    bot = jnp.concatenate([tx @ R, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _ad_se3(xi):
+    """Little adjoint ad(xi) [6,6]: [[wx, 0], [vx, wx]]."""
+    wx = se3._hat(xi[..., :3])
+    vx = se3._hat(xi[..., 3:])
+    top = jnp.concatenate([wx, jnp.zeros_like(wx)], axis=-1)
+    bot = jnp.concatenate([vx, wx], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _jr_inv(r):
+    """Inverse right Jacobian of the SE(3) log at r, to second order:
+    Jr^{-1}(r) ~ I + ad(r)/2 + ad(r)^2/12.
+
+    Exact at r = 0 (the optimum), O(|r|^2) accurate elsewhere — affects
+    only the GN convergence path, not the fixed point.
+    """
+    a = _ad_se3(r)
+    eye = jnp.eye(6, dtype=r.dtype)
+    return eye + 0.5 * a + (1.0 / 12.0) * (a @ a)
+
+
+@jax.vmap
+def _rel_linearize_analytic(T_a, T_b, meas):
+    """Analytic residual + Jacobians of log(meas^-1 Ta^-1 Tb) w.r.t. right
+    perturbations of Ta and Tb.
+
+    With E = meas^-1 Ta^-1 Tb and r = log(E):
+      d/d(delta_b): E -> E exp(delta_b)            => Jb = Jr^{-1}(r)
+      d/d(delta_a): E -> exp(-Ad(meas^-1) da) E    => Ja = -Jl^{-1}(r) Ad(meas^-1)
+    where Jl^{-1}(r) = Jr^{-1}(-r).
+    """
+    E = se3.compose(se3.inverse(meas),
+                    se3.compose(se3.inverse(T_a), T_b))
+    r = se3.log(E)
+    Jb = _jr_inv(r)
+    Ja = -_jr_inv(-r) @ _adjoint(se3.inverse(meas))
+    return r, Ja, Jb
+
+
+@jax.vmap
+def _prior_linearize_analytic(T, meas):
+    E = se3.compose(se3.inverse(meas), T)
+    r = se3.log(E)
+    return r, _jr_inv(r)
+
+
 def _cauchy_weight(r_whitened, robust, k):
     """GTSAM Robust(Cauchy(k)) scalar weight per factor on the whitened
     residual norm (laser_track.cpp:38-54)."""
@@ -106,7 +168,7 @@ def _linearize(graph: FactorGraphData, poses, pose_mask,
                cauchy_k) -> _LinearizedGraph:
     T_a = poses[graph.rel_keys[:, 0]]
     T_b = poses[graph.rel_keys[:, 1]]
-    r, Ja, Jb = _rel_linearize(T_a, T_b, graph.rel_meas)
+    r, Ja, Jb = _rel_linearize_analytic(T_a, T_b, graph.rel_meas)
     # Whiten: multiply rows by sqrt-info diag.
     s = graph.rel_sqrt_info
     r_w = r * s
@@ -117,7 +179,7 @@ def _linearize(graph: FactorGraphData, poses, pose_mask,
     Ja_w = jnp.where(graph.rel_fixed_a[:, None, None], 0.0, Ja_w)
 
     Tp = poses[graph.prior_keys]
-    rp, Jp = _prior_linearize(Tp, graph.prior_meas)
+    rp, Jp = _prior_linearize_analytic(Tp, graph.prior_meas)
     # Gauge-fixing priors freeze their pose instead of weighting.
     gauge = jnp.any(graph.prior_sqrt_info > GAUGE_FIX_THRESHOLD, axis=-1)
     sp = jnp.minimum(graph.prior_sqrt_info, GAUGE_FIX_THRESHOLD)
@@ -281,13 +343,14 @@ def graph_error(graph: FactorGraphData, poses) -> jax.Array:
     """Total weighted squared error (0.5 * sum r^T W r), for diagnostics."""
     T_a = poses[graph.rel_keys[:, 0]]
     T_b = poses[graph.rel_keys[:, 1]]
-    r, _, _ = _rel_linearize(T_a, T_b, graph.rel_meas)
+    r, _, _ = _rel_linearize_analytic(T_a, T_b, graph.rel_meas)
     r_w = r * graph.rel_sqrt_info
     sq = jnp.sum(r_w * r_w, axis=-1)
     # Cauchy loss for robust factors.
     rob = jnp.log1p(sq)
     e_rel = jnp.sum(graph.rel_weight * jnp.where(graph.rel_robust, rob, sq))
-    rp, _ = _prior_linearize(poses[graph.prior_keys], graph.prior_meas)
+    rp, _ = _prior_linearize_analytic(poses[graph.prior_keys],
+                                      graph.prior_meas)
     rp_w = rp * jnp.minimum(graph.prior_sqrt_info, GAUGE_FIX_THRESHOLD)
     e_pri = jnp.sum(graph.prior_weight * jnp.sum(rp_w * rp_w, axis=-1))
     return 0.5 * (e_rel + e_pri)

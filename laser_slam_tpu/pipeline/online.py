@@ -1,0 +1,330 @@
+"""Device-resident online SLAM: zero host transfers per scan.
+
+The flexible host API (core.laser_track / core.estimator / pipeline.worker)
+mirrors the reference's object structure, but pays host<->device latency
+several times per scan — ruinous when the accelerator sits behind a
+high-latency link.  This module is the production fast path: the ENTIRE
+per-scan pipeline (input filters -> normals -> scan-to-submap ICP ->
+factor append -> incremental Gauss-Newton solve -> trajectory update) is
+one jitted function over a device-resident state pytree.  The host only
+feeds raw scans and odometry in; results come out in a single bulk
+transfer at the end (or whenever the caller asks).
+
+Capacities are fixed up front (pose/factor/scan budgets), so the step
+compiles exactly once.  Functionally equivalent to the reference flow
+scanCallback -> processPoseAndLaserScan -> estimate
+(laser_slam_worker.cpp:96-253, laser_track.cpp:122-231,
+incremental_estimator.cpp:151-163).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laser_slam_tpu.config import EstimatorConfig, LaserTrackConfig
+from laser_slam_tpu.graph.factors import FactorGraphData
+from laser_slam_tpu.graph import solver as sv
+from laser_slam_tpu.ops import cloud as pc
+from laser_slam_tpu.ops import icp as icp_mod
+from laser_slam_tpu.ops import se3
+
+
+class OnlineState(NamedTuple):
+    """All-device SLAM state (pose table, scan ring, factor graph)."""
+    # Trajectory / pose table; key == index.
+    traj_poses: jax.Array      # [C,7] current estimates
+    pose_meas: jax.Array       # [C,7] raw odometry measurement per key
+    n_poses: jax.Array         # int32 scalar
+    # Scan ring: the last K scans (newest at index -1).
+    ring_points: jax.Array     # [K,N,3]
+    ring_mask: jax.Array       # [K,N]
+    ring_normals: jax.Array    # [K,N,3]
+    ring_keys: jax.Array       # [K] int32 (-1 = empty)
+    # Factor graph.
+    rel_meas: jax.Array        # [F,7]
+    rel_keys: jax.Array        # [F,2]
+    rel_sqrt_info: jax.Array   # [F,6]
+    rel_robust: jax.Array      # [F]
+    rel_weight: jax.Array      # [F]
+    n_rel: jax.Array           # int32
+    prior_meas: jax.Array      # [P,7]
+    prior_keys: jax.Array      # [P]
+    prior_sqrt_info: jax.Array # [P,6]
+    prior_weight: jax.Array    # [P]
+    n_prior: jax.Array         # int32
+    rng_key: jax.Array
+    # Last-step diagnostics (stay on device).
+    last_icp_valid: jax.Array
+    last_icp_inliers: jax.Array
+    last_error: jax.Array
+
+
+class StepInfo(NamedTuple):
+    key: jax.Array
+    icp_valid: jax.Array
+    icp_inliers: jax.Array
+    solve_error: jax.Array
+
+
+def init_state(config: EstimatorConfig, pose_capacity: int = 4096,
+               factor_capacity: int = 8192, prior_capacity: int = 8,
+               seed: int = 0) -> OnlineState:
+    lt = config.laser_track
+    K = max(lt.nscan_in_sub_map - 1, 1)
+    N = lt.input_filters.scan_capacity
+
+    def eye_rows(n):
+        # Distinct buffers per field: donation forbids aliased state leaves.
+        return jnp.zeros((n, 7), jnp.float32).at[:, 0].set(1.0)
+
+    return OnlineState(
+        traj_poses=eye_rows(pose_capacity),
+        pose_meas=eye_rows(pose_capacity), n_poses=jnp.int32(0),
+        ring_points=jnp.full((K, N, 3), pc.SENTINEL, jnp.float32),
+        ring_mask=jnp.zeros((K, N), bool),
+        ring_normals=jnp.zeros((K, N, 3), jnp.float32),
+        ring_keys=jnp.full((K,), -1, jnp.int32),
+        rel_meas=eye_rows(factor_capacity),
+        rel_keys=jnp.zeros((factor_capacity, 2), jnp.int32),
+        rel_sqrt_info=jnp.zeros((factor_capacity, 6), jnp.float32),
+        rel_robust=jnp.zeros((factor_capacity,), bool),
+        rel_weight=jnp.zeros((factor_capacity,), jnp.float32),
+        n_rel=jnp.int32(0),
+        prior_meas=eye_rows(prior_capacity),
+        prior_keys=jnp.zeros((prior_capacity,), jnp.int32),
+        prior_sqrt_info=jnp.zeros((prior_capacity, 6), jnp.float32),
+        prior_weight=jnp.zeros((prior_capacity,), jnp.float32),
+        n_prior=jnp.int32(0),
+        rng_key=jax.random.key(seed),
+        last_icp_valid=jnp.bool_(False),
+        last_icp_inliers=jnp.int32(0),
+        last_error=jnp.float32(0.0),
+    )
+
+
+def _graph_view(state: OnlineState) -> FactorGraphData:
+    """The state's factor arrays as a solver graph (no copies under jit).
+
+    fixed_a is unused in the online path (no out-of-window factors)."""
+    return FactorGraphData(
+        rel_meas=state.rel_meas, rel_keys=state.rel_keys,
+        rel_sqrt_info=state.rel_sqrt_info, rel_robust=state.rel_robust,
+        rel_fixed_a=jnp.zeros_like(state.rel_robust),
+        rel_weight=state.rel_weight,
+        prior_meas=state.prior_meas, prior_keys=state.prior_keys,
+        prior_sqrt_info=state.prior_sqrt_info,
+        prior_weight=state.prior_weight)
+
+
+@functools.partial(jax.jit, static_argnames=('config',),
+                   donate_argnums=(0,))
+def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
+                odom_pose7: jax.Array,
+                config: EstimatorConfig) -> Tuple[OnlineState, StepInfo]:
+    """Integrate one scan.  ``points`` padded to the scan capacity."""
+    lt = config.laser_track
+    key_rng, sub1, sub2 = jax.random.split(state.rng_key, 3)
+
+    # --- ingest: filters + normals (laser_track.cpp:146) ---------------
+    f = lt.input_filters
+    mask = jnp.arange(points.shape[0]) < n_valid
+    scan = pc.Cloud(jnp.where(mask[:, None], points, pc.SENTINEL), mask)
+    scan = pc.range_filter(scan, f.min_distance_m, f.max_distance_m)
+    if f.random_sampling_ratio < 1.0:
+        scan = pc.random_sampling_filter(scan, f.random_sampling_ratio, sub1)
+    normals = pc.estimate_normals(scan, knn=lt.icp.normal_knn)
+
+    i = state.n_poses
+    odom = se3.normalize(odom_pose7)
+
+    def first_branch(state):
+        prior_T = odom
+        if lt.force_priors:
+            prior_T = jnp.asarray(
+                [1, 0, 0, 0, 0, 0, 0], jnp.float32)
+        state = state._replace(
+            traj_poses=state.traj_poses.at[0].set(prior_T),
+            pose_meas=state.pose_meas.at[0].set(odom),
+            prior_meas=state.prior_meas.at[state.n_prior].set(prior_T),
+            prior_keys=state.prior_keys.at[state.n_prior].set(0),
+            prior_sqrt_info=state.prior_sqrt_info.at[state.n_prior].set(
+                1.0 / config.prior_noise_sigma),
+            prior_weight=state.prior_weight.at[state.n_prior].set(1.0),
+            n_prior=state.n_prior + 1,
+            last_icp_valid=jnp.bool_(True),
+            last_icp_inliers=jnp.int32(0))
+        return state
+
+    def normal_branch(state):
+        prev_meas = state.pose_meas[i - 1]
+        rel = se3.compose(se3.inverse(prev_meas), odom)
+        prev_traj = state.traj_poses[i - 1]
+        propagated = se3.normalize(se3.compose(prev_traj, rel))
+
+        # Scan-to-submap ICP in frame (i-1) (laser_track.cpp:466-519).
+        T_a_w = se3.inverse(prev_traj)
+        ring_rel = jax.vmap(lambda k: jnp.where(
+            k >= 0,
+            se3.compose(T_a_w, state.traj_poses[jnp.maximum(k, 0)]),
+            se3.identity()))(state.ring_keys)
+        pts = se3.apply(ring_rel[:, None, :], state.ring_points)
+        nrm = se3.quat_rotate(ring_rel[:, None, :4], state.ring_normals)
+        K, N, _ = state.ring_points.shape
+        submap = pc.Cloud(
+            jnp.where(state.ring_mask[..., None], pts,
+                      pc.SENTINEL).reshape(K * N, 3),
+            state.ring_mask.reshape(K * N))
+        submap_normals = nrm.reshape(K * N, 3)
+
+        reading = scan
+        if lt.icp.reading_sampling_ratio < 1.0:
+            reading = pc.random_sampling_filter(
+                reading, lt.icp.reading_sampling_ratio, sub2)
+        reading = pc.compact(reading, lt.icp.reading_capacity)
+
+        icp_res = icp_mod.icp_point_to_plane(
+            reading, submap, submap_normals, rel, lt.icp)
+
+        # Factors (laser_track.cpp:211-222).
+        n_rel = state.n_rel
+        odo_sig = 1.0 / jnp.asarray(lt.odometry_noise_model, jnp.float32)
+        icp_sig = 1.0 / jnp.asarray(lt.icp_noise_model, jnp.float32)
+        keys_ab = jnp.stack([i - 1, i])
+        state = state._replace(
+            rel_meas=state.rel_meas.at[n_rel].set(rel)
+            .at[n_rel + 1].set(icp_res.T),
+            rel_keys=state.rel_keys.at[n_rel].set(keys_ab)
+            .at[n_rel + 1].set(keys_ab),
+            rel_sqrt_info=state.rel_sqrt_info.at[n_rel].set(odo_sig)
+            .at[n_rel + 1].set(icp_sig),
+            rel_robust=state.rel_robust.at[n_rel].set(
+                lt.add_m_estimator_on_odom)
+            .at[n_rel + 1].set(lt.add_m_estimator_on_icp),
+            rel_weight=state.rel_weight.at[n_rel].set(
+                1.0 if lt.use_odom_factors else 0.0)
+            .at[n_rel + 1].set(
+                jnp.where(icp_res.valid,
+                          1.0 if lt.use_icp_factors else 0.0, 0.0)),
+            n_rel=n_rel + 2,
+            traj_poses=state.traj_poses.at[i].set(propagated),
+            pose_meas=state.pose_meas.at[i].set(odom),
+            last_icp_valid=icp_res.valid,
+            last_icp_inliers=icp_res.num_inliers)
+        return state
+
+    state = jax.lax.cond(i == 0, first_branch, normal_branch, state)
+
+    # --- incremental solve (incremental_estimator.cpp:151-163) ----------
+    pose_mask = jnp.arange(state.traj_poses.shape[0]) < (i + 1)
+    result = sv.solve(_graph_view(state), state.traj_poses, pose_mask,
+                      config.solver)
+    state = state._replace(
+        traj_poses=result.poses,
+        n_poses=i + 1,
+        rng_key=key_rng,
+        last_error=result.error_final,
+        # Ring push (newest scan last).
+        ring_points=jnp.roll(state.ring_points, -1, axis=0)
+        .at[-1].set(scan.points),
+        ring_mask=jnp.roll(state.ring_mask, -1, axis=0).at[-1].set(scan.mask),
+        ring_normals=jnp.roll(state.ring_normals, -1, axis=0)
+        .at[-1].set(normals),
+        ring_keys=jnp.roll(state.ring_keys, -1).at[-1].set(i))
+    info = StepInfo(key=i, icp_valid=state.last_icp_valid,
+                    icp_inliers=state.last_icp_inliers,
+                    solve_error=state.last_error)
+    return state, info
+
+
+@functools.partial(jax.jit, static_argnames=('config',),
+                   donate_argnums=(0,))
+def online_loop_closure(state: OnlineState, key_a: jax.Array,
+                        key_b: jax.Array, w_T_a_b: jax.Array,
+                        config: EstimatorConfig
+                        ) -> Tuple[OnlineState, StepInfo]:
+    """Add a loop-closure factor between two existing keys and re-solve.
+
+    ``w_T_a_b`` is the world-frame alignment from place recognition; it is
+    converted to the relative frame of key_a exactly as
+    incremental_estimator.cpp:83-87.  (Submap ICP refinement is available
+    through the host API; the online path takes the alignment as given.)
+    """
+    T_w_a = state.traj_poses[key_a]
+    T_w_b = state.traj_poses[key_b]
+    a_T_a_b = se3.compose(se3.inverse(T_w_a),
+                          se3.compose(se3.normalize(w_T_a_b), T_w_b))
+    sig = 1.0 / jnp.asarray(config.loop_closure_noise_model, jnp.float32)
+    n_rel = state.n_rel
+    state = state._replace(
+        rel_meas=state.rel_meas.at[n_rel].set(a_T_a_b),
+        rel_keys=state.rel_keys.at[n_rel].set(jnp.stack([key_a, key_b])),
+        rel_sqrt_info=state.rel_sqrt_info.at[n_rel].set(sig),
+        rel_robust=state.rel_robust.at[n_rel].set(
+            config.add_m_estimator_on_loop_closures),
+        rel_weight=state.rel_weight.at[n_rel].set(1.0),
+        n_rel=n_rel + 1)
+    pose_mask = jnp.arange(state.traj_poses.shape[0]) < state.n_poses
+    result = sv.solve(_graph_view(state), state.traj_poses, pose_mask,
+                      config.solver)
+    state = state._replace(traj_poses=result.poses,
+                           last_error=result.error_final)
+    info = StepInfo(key=key_b, icp_valid=jnp.bool_(True),
+                    icp_inliers=jnp.int32(0),
+                    solve_error=result.error_final)
+    return state, info
+
+
+def extract_trajectory(state: OnlineState) -> np.ndarray:
+    """One bulk device->host transfer: the valid trajectory [n,7]."""
+    n = int(state.n_poses)
+    return np.asarray(state.traj_poses[:n])
+
+
+class OnlineRunner:
+    """Host driver for the online fast path: distance gating on host
+    odometry, everything else on device."""
+
+    def __init__(self, config: EstimatorConfig, pose_capacity: int = 4096,
+                 factor_capacity: int = 8192,
+                 minimum_distance_to_add_pose: float = 0.0, seed: int = 0):
+        self.config = config
+        self.state = init_state(config, pose_capacity, factor_capacity,
+                                seed=seed)
+        self.min_dist = minimum_distance_to_add_pose
+        self._last_odom: Optional[np.ndarray] = None
+        self.times: list = []
+        self.scan_cap = config.laser_track.input_filters.scan_capacity
+
+    def process_scan(self, time_ns: int, points: np.ndarray,
+                     odom_pose7: np.ndarray) -> bool:
+        odom_pose7 = np.asarray(odom_pose7, np.float32)
+        if self._last_odom is not None and self.min_dist > 0:
+            if np.linalg.norm(odom_pose7[4:] - self._last_odom[4:]) \
+                    <= self.min_dist:
+                return False
+        self._last_odom = odom_pose7
+
+        pts = np.asarray(points, np.float32)
+        n = min(len(pts), self.scan_cap)
+        padded = np.full((self.scan_cap, 3), pc.SENTINEL, np.float32)
+        padded[:n] = pts[:n]
+        self.state, _ = online_step(self.state, jnp.asarray(padded),
+                                    jnp.int32(n), jnp.asarray(odom_pose7),
+                                    self.config)
+        self.times.append(time_ns)
+        return True
+
+    def add_loop_closure(self, key_a: int, key_b: int,
+                         w_T_a_b: np.ndarray) -> None:
+        self.state, _ = online_loop_closure(
+            self.state, jnp.int32(key_a), jnp.int32(key_b),
+            jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config)
+
+    def trajectory(self) -> dict:
+        poses = extract_trajectory(self.state)
+        return {t: poses[i] for i, t in enumerate(self.times)}

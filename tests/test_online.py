@@ -1,0 +1,104 @@
+"""Device-resident online pipeline tests: parity with the host API path."""
+
+import numpy as np
+import pytest
+
+from laser_slam_tpu.config import (EstimatorConfig, IcpConfig,
+                                   InputFilterConfig, LaserTrackConfig,
+                                   SolverConfig)
+from laser_slam_tpu.pipeline import online, replay
+
+
+def make_config():
+    return EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+            icp_noise_model=(0.01,) * 6,
+            input_filters=InputFilterConfig(scan_capacity=2048),
+            icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                          reading_sampling_ratio=1.0)),
+        solver=SolverConfig(gn_iterations=2, pcg_iterations=30))
+
+
+def test_online_runner_tracks_ground_truth(rng):
+    cfg = make_config()
+    runner = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256)
+    frames = list(replay.SyntheticStream(
+        n_scans=6, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, odom_noise=0.005, seed=21))
+    for f in frames:
+        assert runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    traj = runner.trajectory()
+    assert len(traj) == 6
+    errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
+            for f in frames]
+    assert max(errs) < 0.1, errs
+
+
+def test_online_distance_gate(rng):
+    cfg = make_config()
+    runner = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256,
+                                 minimum_distance_to_add_pose=0.5)
+    frames = list(replay.SyntheticStream(
+        n_scans=4, points_per_scan=1024, trajectory='line', step_m=0.6,
+        seed=22))
+    for f in frames:
+        f.odom_pose7 = frames[0].odom_pose7
+    n = sum(runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+            for f in frames)
+    assert n == 1
+
+
+def test_online_loop_closure(rng):
+    cfg = make_config()
+    runner = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256)
+    frames = list(replay.SyntheticStream(
+        n_scans=6, points_per_scan=2048, trajectory='line', step_m=0.5,
+        noise_m=0.005, odom_noise=0.02, seed=23))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    # Ground-truth closure between first and last keys.
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops import se3
+    traj = runner.trajectory()
+    T_w_a = jnp.asarray(traj[frames[0].time_ns])
+    T_w_b = jnp.asarray(traj[frames[-1].time_ns])
+    gt_rel = se3.compose(se3.inverse(jnp.asarray(frames[0].gt_pose7)),
+                         jnp.asarray(frames[-1].gt_pose7))
+    w_T_a_b = se3.compose(T_w_a, se3.compose(gt_rel, se3.inverse(T_w_b)))
+    runner.add_loop_closure(0, 5, np.asarray(w_T_a_b))
+    traj2 = runner.trajectory()
+    err_end = np.linalg.norm(traj2[frames[-1].time_ns][4:]
+                             - frames[-1].gt_pose7[4:])
+    assert err_end < 0.08, err_end
+
+
+def test_online_matches_host_api(rng):
+    """Online fast path and the host API must produce equivalent
+    trajectories on identical input."""
+    from laser_slam_tpu.config import Config, WorkerConfig
+    from laser_slam_tpu.core.estimator import IncrementalEstimator
+    from laser_slam_tpu.pipeline.worker import LaserSlamWorker
+
+    cfg = make_config()
+    frames = list(replay.SyntheticStream(
+        n_scans=5, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, seed=24))
+
+    runner = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256)
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    traj_fast = runner.trajectory()
+
+    est = IncrementalEstimator(cfg, 1)
+    worker = LaserSlamWorker(WorkerConfig(minimum_distance_to_add_pose=0.0),
+                             est, 0)
+    for f in frames:
+        worker.process_scan(f.time_ns, f.points, f.odom_pose7)
+    traj_host = worker.get_trajectory()
+
+    assert len(traj_fast) == len(traj_host)
+    for t, p_host in traj_host.items():
+        p_fast = traj_fast[t]
+        np.testing.assert_allclose(p_fast[4:], p_host[4:], atol=2e-2)

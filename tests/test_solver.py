@@ -173,3 +173,29 @@ def test_solve_is_vmappable(rng):
     res = jax.vmap(lambda d, p: sv.solve(d, p, mask, cfg))(batch, poses_b)
     assert res.poses.shape == (2, 8, 7)
     np.testing.assert_allclose(res.poses[0], res.poses[1], atol=1e-6)
+
+
+def test_analytic_jacobians_match_ad(rng):
+    """The analytic linearization must match forward-mode AD."""
+    import jax
+
+    def rand_pose(scale=1.0):
+        return se3.exp(jnp.asarray(rng.normal(size=6) * scale, jnp.float32))
+
+    Ta = jnp.stack([rand_pose() for _ in range(8)])
+    Tb = jnp.stack([rand_pose() for _ in range(8)])
+    meas = jax.vmap(lambda a, b: se3.compose(se3.inverse(a), b))(Ta, Tb)
+    meas = jax.vmap(lambda m: se3.compose(m, se3.exp(
+        jnp.asarray(rng.normal(size=6) * 0.05, jnp.float32))))(meas)
+    r1, Ja1, Jb1 = sv._rel_linearize(Ta, Tb, meas)
+    r2, Ja2, Jb2 = sv._rel_linearize_analytic(Ta, Tb, meas)
+    np.testing.assert_allclose(r1, r2, atol=1e-5)
+    np.testing.assert_allclose(Ja1, Ja2, atol=1e-4)
+    np.testing.assert_allclose(Jb1, Jb2, atol=1e-4)
+
+    measp = jax.vmap(lambda m: se3.compose(m, se3.exp(
+        jnp.asarray(rng.normal(size=6) * 0.05, jnp.float32))))(Ta)
+    rp1, Jp1 = sv._prior_linearize(Ta, measp)
+    rp2, Jp2 = sv._prior_linearize_analytic(Ta, measp)
+    np.testing.assert_allclose(rp1, rp2, atol=1e-5)
+    np.testing.assert_allclose(Jp1, Jp2, atol=1e-4)

@@ -103,7 +103,8 @@ def cpu_icp(reading, ref, ref_normals, T0, max_iter=40, trim=0.75,
     return T, iters
 
 
-def bench_cpu(rng, world, ref_np, normals_np, readings, n_runs=3):
+def bench_cpu(rng, world, ref_np, normals_np, readings, n_runs=5):
+    """Median of several runs — single-thread CPU timing is noisy."""
     times = []
     total_iters = 0
     for i in range(n_runs):
@@ -113,7 +114,7 @@ def bench_cpu(rng, world, ref_np, normals_np, readings, n_runs=3):
                            T0)
         times.append(time.perf_counter() - t0)
         total_iters += iters
-    return np.mean(times), total_iters / n_runs
+    return float(np.median(times)), total_iters / n_runs
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +248,7 @@ def main():
             input_filters=InputFilterConfig(scan_capacity=16384),
             icp=IcpConfig(matcher='projective', reading_capacity=8192,
                           reading_sampling_ratio=0.5)),
-        solver=SolverConfig(gn_iterations=3, pcg_iterations=32))
+        solver=SolverConfig(gn_iterations=3, pcg_iterations=32, window=64))
     runner = online.OnlineRunner(e2e_cfg, pose_capacity=2048,
                                  factor_capacity=8192)
     frames = list(replay.SyntheticStream(
@@ -262,6 +263,38 @@ def main():
     jax.block_until_ready(runner.state.traj_poses)
     extras['tpu_e2e_scans_per_sec'] = round(
         (len(frames) - 8) / (time.perf_counter() - t0), 2)
+
+    # Fleet mode (BASELINE config 5): 256 parallel trajectories on one chip.
+    from laser_slam_tpu.parallel import fleet as fleet_mod
+    from laser_slam_tpu.ops import se3 as se3_mod
+    B_f, T_f, N_f = 256, 3, 4096
+    fl_pts = np.zeros((B_f, T_f, N_f, 3), np.float32)
+    base_scan = sample_scan(rng, world, pose0, N_f)
+    for b in range(B_f):
+        for t in range(T_f):
+            jitter = rng.normal(size=(N_f, 3)).astype(np.float32) * 0.02
+            fl_pts[b, t] = base_scan + jitter + np.array(
+                [0.3 * t, 0.1 * b % 2.0, 0], np.float32)
+    fl_mask = np.ones((B_f, T_f, N_f), bool)
+    fl_norm = rng.normal(size=(B_f, T_f, N_f, 3)).astype(np.float32)
+    fl_norm /= np.linalg.norm(fl_norm, axis=-1, keepdims=True)
+    init_pose = np.zeros((B_f, 7), np.float32)
+    init_pose[:, 0] = 1.0
+    odom_rel = np.zeros((B_f, T_f, 7), np.float32)
+    odom_rel[:, :, 0] = 1.0
+    odom_rel[:, 1:, 4] = 0.3
+    fleet_cfg = IcpConfig(matcher='brute', reading_capacity=N_f,
+                          reading_sampling_ratio=1.0, max_iterations=8)
+    args_f = (jnp.asarray(fl_pts), jnp.asarray(fl_mask), jnp.asarray(fl_norm),
+              jnp.asarray(init_pose), jnp.asarray(odom_rel))
+    jax.block_until_ready(
+        fleet_mod.fleet_icp_odometry(*args_f, fleet_cfg).poses)
+    t0 = time.perf_counter()
+    out_f = fleet_mod.fleet_icp_odometry(*args_f, fleet_cfg)
+    jax.block_until_ready(out_f.poses)
+    pair_count = B_f * (T_f - 1)
+    extras['tpu_fleet256_pairs_per_sec'] = round(
+        pair_count / (time.perf_counter() - t0), 1)
 
     print(json.dumps({
         'metric': 'ICP scan-pairs/sec (64k ref, 8k reading, pt-to-plane)',

@@ -45,6 +45,10 @@ class IcpConfig:
     reading_sampling_ratio: float = 0.5
     reading_capacity: int = 8192          # reading points after sampling
     normal_knn: int = 10
+    # 'knn' = PCA of the k nearest neighbors (SamplingSurfaceNormal
+    # parity, O(N^2) tiled); 'range_image' = O(N) cross-product of
+    # range-image tangents (the LiDAR fast path).
+    normal_method: str = 'knn'
     max_iterations: int = 40
     trimmed_dist_ratio: float = 0.75
     min_diff_rot: float = 0.001
@@ -104,6 +108,11 @@ class SolverConfig:
     pcg_iterations: int = 32
     pcg_tolerance: float = 1e-7
     damping: float = 1e-6
+    # Sliding optimization window (0 = full graph): only the most recent
+    # `window` poses stay free per incremental solve; older poses are
+    # frozen anchors (O(window) per-step cost — loop closures trigger a
+    # full solve regardless).
+    window: int = 0
     pose_capacity: int = 1024            # initial key budget; doubles on overflow
     factor_capacity: int = 4096          # initial factor budget
     cauchy_k: float = 1.0                # mEstimator::Cauchy::Create(1)

@@ -173,3 +173,14 @@ def scoped_timer(topic: str):
     finally:
         if _instance.enabled:
             record_value(topic, (time.perf_counter() - start) * 1e3)
+
+
+@contextlib.contextmanager
+def device_trace(trace_dir: str):
+    """XLA device profiling: wraps ``jax.profiler.trace`` so device
+    timelines land next to the Benchmarker's host metrics (view with
+    TensorBoard or xprof).  The TPU-native upgrade of the reference's
+    wall-clock-only instrumentation (SURVEY §5)."""
+    import jax
+    with jax.profiler.trace(trace_dir):
+        yield

@@ -388,6 +388,19 @@ class LaserTrack:
     def get_covariances(self):
         return list(self.covariances)
 
+    def get_point_cloud_of_time_interval(self, start_ns: Time,
+                                         end_ns: Time) -> pc.Cloud:
+        """All scans with start <= t <= end, concatenated in the world
+        frame.  (The reference declares this but leaves it a TODO —
+        laser_track.cpp:239-245; implemented properly here.)"""
+        sel = [s for s in self.scans if start_ns <= s.time_ns <= end_ns]
+        if not sel:
+            return pc.empty_cloud(1)
+        clouds = [pc.transform(
+            jnp.asarray(self.trajectory.evaluate(s.time_ns)), s.cloud)
+            for s in sel]
+        return pc.concatenate(clouds)
+
     def get_local_cloud_in_world_frame(self, time_ns: Time) -> pc.Cloud:
         """The scan at ``time_ns`` transformed by its optimized pose
         (getLocalCloudInWorldFrame, laser_track.cpp:247-266)."""

@@ -83,6 +83,65 @@ def build_range_image(reference: Cloud, ref_normals, rows: int = 64,
                       cols=cols, elev_min=elev_min, elev_max=elev_max)
 
 
+@functools.partial(jax.jit, static_argnames=('rows', 'cols', 'elev_min',
+                                             'elev_max'))
+def range_image_normals(cloud: Cloud, rows: int = 64, cols: int = 1024,
+                        elev_min: float = DEFAULT_ELEV_MIN,
+                        elev_max: float = DEFAULT_ELEV_MAX) -> jax.Array:
+    """Per-point surface normals from range-image neighbors — O(N).
+
+    The classic LiDAR alternative to kNN PCA normals (which cost a tiled
+    O(N^2) sweep per scan): render the scan into its own range image, take
+    the cross product of the horizontal and vertical pixel tangents, and
+    read each point's normal from its pixel.  Orientation: toward the
+    sensor.  Points whose pixel lacks valid neighbors fall back to +z.
+    """
+    pts = cloud.points
+    row, col, _ = _project(pts, rows, cols, elev_min, elev_max)
+    flat = row * cols + col
+    n_pix = rows * cols
+
+    # Z-buffer render (closest point per pixel).
+    r = jnp.where(cloud.mask, jnp.linalg.norm(pts, axis=-1), jnp.inf)
+    depth = jnp.full((n_pix,), jnp.inf, jnp.float32).at[flat].min(r)
+    is_winner = cloud.mask & (r <= depth[flat])
+    img_pts = jnp.zeros((n_pix, 3), jnp.float32)
+    img_pts = img_pts.at[jnp.where(is_winner, flat, n_pix)].set(
+        pts, mode='drop')
+    occupied = jnp.isfinite(depth).reshape(rows, cols)
+    img = img_pts.reshape(rows, cols, 3)
+
+    # Tangents from horizontal (azimuth wraps) and vertical neighbors.
+    right = jnp.roll(img, -1, axis=1)
+    occ_right = jnp.roll(occupied, -1, axis=1)
+    left = jnp.roll(img, 1, axis=1)
+    occ_left = jnp.roll(occupied, 1, axis=1)
+    du = jnp.where(occ_right[..., None], right - img, img - left)
+    du_ok = occ_right | occ_left
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    occ_down = jnp.concatenate([occupied[1:], occupied[-1:]], axis=0)
+    up = jnp.concatenate([img[:1], img[:-1]], axis=0)
+    occ_up = jnp.concatenate([occupied[:1], occupied[:-1]], axis=0)
+    dv = jnp.where(occ_down[..., None], down - img, img - up)
+    dv_ok = occ_down | occ_up
+
+    n = jnp.cross(du, dv)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True),
+                                1e-30))
+    n = n / norm
+    good = (occupied & du_ok & dv_ok &
+            (norm[..., 0] > 1e-12)).reshape(-1)
+    n_flat = jnp.where(good[:, None], n.reshape(-1, 3),
+                       jnp.array([0.0, 0.0, 1.0], jnp.float32))
+
+    # Each point reads its pixel's normal, oriented toward the sensor.
+    out = n_flat[flat]
+    flip = jnp.sum(out * pts, axis=-1, keepdims=True) > 0
+    out = jnp.where(flip, -out, out)
+    return jnp.where(cloud.mask[:, None], out,
+                     jnp.array([0.0, 0.0, 1.0], jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=())
 def nn_projective(queries: jax.Array, image: RangeImage):
     """Projective 1-NN: project each query, test its 3x3 pixel window,

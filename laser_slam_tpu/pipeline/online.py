@@ -137,7 +137,15 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     scan = pc.range_filter(scan, f.min_distance_m, f.max_distance_m)
     if f.random_sampling_ratio < 1.0:
         scan = pc.random_sampling_filter(scan, f.random_sampling_ratio, sub1)
-    normals = pc.estimate_normals(scan, knn=lt.icp.normal_knn)
+    if lt.icp.normal_method == 'range_image':
+        from laser_slam_tpu.ops import range_image as ri
+        normals = ri.range_image_normals(
+            scan, rows=lt.icp.range_image_rows,
+            cols=lt.icp.range_image_cols,
+            elev_min=lt.icp.range_image_elev_min,
+            elev_max=lt.icp.range_image_elev_max)
+    else:
+        normals = pc.estimate_normals(scan, knn=lt.icp.normal_knn)
 
     i = state.n_poses
     odom = se3.normalize(odom_pose7)
@@ -220,9 +228,35 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     state = jax.lax.cond(i == 0, first_branch, normal_branch, state)
 
     # --- incremental solve (incremental_estimator.cpp:151-163) ----------
-    pose_mask = jnp.arange(state.traj_poses.shape[0]) < (i + 1)
-    result = sv.solve(_graph_view(state), state.traj_poses, pose_mask,
-                      config.solver)
+    idx = jnp.arange(state.traj_poses.shape[0])
+    pose_mask = idx < (i + 1)
+    graph = _graph_view(state)
+    if config.solver.window > 0:
+        # Sliding window: only the newest `window` poses stay free; older
+        # poses act as fixed anchors.  Because the online path appends
+        # factors chronologically (2 per scan), the window's factors are a
+        # contiguous dynamic slice — linearize/matvec cost O(window), not
+        # O(capacity).
+        W = config.solver.window
+        Fw = min(2 * W + 2, state.rel_meas.shape[0])
+        start_f = jnp.clip(state.n_rel - Fw, 0,
+                           state.rel_meas.shape[0] - Fw)
+        graph = graph._replace(
+            rel_meas=jax.lax.dynamic_slice(
+                state.rel_meas, (start_f, 0), (Fw, 7)),
+            rel_keys=jax.lax.dynamic_slice(
+                state.rel_keys, (start_f, 0), (Fw, 2)),
+            rel_sqrt_info=jax.lax.dynamic_slice(
+                state.rel_sqrt_info, (start_f, 0), (Fw, 6)),
+            rel_robust=jax.lax.dynamic_slice(
+                state.rel_robust, (start_f,), (Fw,)),
+            rel_fixed_a=jnp.zeros((Fw,), bool),
+            rel_weight=jax.lax.dynamic_slice(
+                state.rel_weight, (start_f,), (Fw,)),
+        )
+        pose_mask = pose_mask & (idx >= i + 1 - W)
+    result = sv.solve(graph, state.traj_poses, pose_mask, config.solver)
+    # (Out-of-window poses are preserved by solve's pose_mask gating.)
     state = state._replace(
         traj_poses=result.poses,
         n_poses=i + 1,

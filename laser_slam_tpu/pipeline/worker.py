@@ -66,6 +66,10 @@ class LaserSlamWorker:
         # laser_slam_worker.cpp:74-79).
         self.world_to_odom = np.asarray(se3.identity())
 
+        # scanCallback gate used by loop-closure handlers
+        # (setLockScanCallback, laser_slam_worker.cpp:255-258).
+        self._lock_scan_callback = False
+
         cap = params.local_map_capacity
         self._map_points = np.full((cap, 3), pc.SENTINEL, np.float32)
         self._map_count = 0
@@ -95,6 +99,8 @@ class LaserSlamWorker:
         """Process one assembled scan.  Returns True if the scan passed the
         distance gate and was integrated."""
         bench.notify_new_step()
+        if self._lock_scan_callback:
+            return False
         if odom_pose7 is None and self.params.use_odometry_information:
             raise ValueError('odometry pose required when '
                              'use_odometry_information is set')
@@ -191,6 +197,11 @@ class LaserSlamWorker:
         self._map_points[:] = pc.SENTINEL
         self._map_points[:len(pts)] = pts
         self._map_count = len(pts)
+
+    def set_lock_scan_callback(self, locked: bool) -> None:
+        """Pause/resume scan processing around map updates
+        (setLockScanCallback, laser_slam_worker.cpp:255-258)."""
+        self._lock_scan_callback = locked
 
     def get_queued_points(self) -> List[np.ndarray]:
         """Drain the per-scan world-frame cloud queue

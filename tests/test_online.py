@@ -102,3 +102,49 @@ def test_online_matches_host_api(rng):
     for t, p_host in traj_host.items():
         p_fast = traj_fast[t]
         np.testing.assert_allclose(p_fast[4:], p_host[4:], atol=2e-2)
+
+
+def test_online_sliding_window(rng):
+    """Windowed solve: same input, bounded per-step cost, similar result."""
+    cfg = make_config()
+    cfg_win = cfg.__class__(**{**cfg.__dict__,
+                               'solver': SolverConfig(
+                                   gn_iterations=2, pcg_iterations=30,
+                                   window=3)})
+    frames = list(replay.SyntheticStream(
+        n_scans=6, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, odom_noise=0.005, seed=25))
+    runner = online.OnlineRunner(cfg_win, pose_capacity=64,
+                                 factor_capacity=256)
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    traj = runner.trajectory()
+    errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
+            for f in frames]
+    assert max(errs) < 0.12, errs
+
+
+def test_online_range_image_normals(rng):
+    cfg = make_config()
+    lt = cfg.laser_track
+    cfg_ri = cfg.__class__(**{
+        **cfg.__dict__,
+        'laser_track': lt.__class__(**{
+            **lt.__dict__,
+            'icp': IcpConfig(matcher='brute', reading_capacity=1024,
+                             reading_sampling_ratio=1.0,
+                             normal_method='range_image',
+                             range_image_rows=32, range_image_cols=512,
+                             range_image_elev_min=-0.7,
+                             range_image_elev_max=0.7)})})
+    frames = list(replay.SyntheticStream(
+        n_scans=5, points_per_scan=2048, trajectory='line', step_m=0.5,
+        noise_m=0.005, odom_noise=0.01, seed=26))
+    runner = online.OnlineRunner(cfg_ri, pose_capacity=64,
+                                 factor_capacity=256)
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    traj = runner.trajectory()
+    errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
+            for f in frames]
+    assert max(errs) < 0.12, errs

@@ -158,3 +158,27 @@ def test_update_local_map_rerigidify(rng):
     map_after = worker._map_points[:worker._map_count]
     np.testing.assert_allclose(map_after[:, 0], map_before[:, 0] + 1.0,
                                atol=1e-4)
+
+
+def test_scan_callback_lock(rng):
+    est, (worker,) = small_setup(use_icp=False)
+    frames = list(replay.SyntheticStream(n_scans=2, points_per_scan=512,
+                                         trajectory='line', seed=9))
+    worker.set_lock_scan_callback(True)
+    assert not worker.process_scan(frames[0].time_ns, frames[0].points,
+                                   frames[0].odom_pose7)
+    worker.set_lock_scan_callback(False)
+    assert worker.process_scan(frames[0].time_ns, frames[0].points,
+                               frames[0].odom_pose7)
+
+
+def test_point_cloud_of_time_interval(rng):
+    est, (worker,) = small_setup(use_icp=False)
+    replay.run_worker_on_stream(
+        worker, replay.SyntheticStream(n_scans=3, points_per_scan=512,
+                                       trajectory='line', seed=10))
+    track = worker.laser_track
+    c = track.get_point_cloud_of_time_interval(0, track.get_max_time())
+    assert int(c.count()) > 0
+    c_none = track.get_point_cloud_of_time_interval(int(1e15), int(2e15))
+    assert int(c_none.count()) == 0

@@ -84,3 +84,19 @@ def test_checkpoint_without_workers(tmp_path, rng):
     # The resumed estimator can keep solving.
     values = est2.estimate([], {})
     assert np.all(np.isfinite(values))
+
+
+def test_csvio_roundtrip(tmp_path, rng):
+    from laser_slam_tpu.core import csvio
+    import os
+    m = rng.normal(size=(5, 3))
+    path = os.path.join(tmp_path, 'm.csv')
+    csvio.write_matrix_csv(m, path)
+    m2 = csvio.load_matrix_csv(path)
+    np.testing.assert_allclose(m2, m, rtol=1e-6)
+    rows = [['a', 'b'], ['1', '2']]
+    path2 = os.path.join(tmp_path, 's.csv')
+    csvio.write_csv(rows, path2)
+    assert csvio.load_csv(path2) == rows
+    tv = csvio.time_value_map_to_matrix({10: 1.5, 5: 0.5})
+    np.testing.assert_allclose(tv, [[5, 0.5], [10, 1.5]])

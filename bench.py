@@ -15,10 +15,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: first-compile over the remote tunnel is
+# minutes per shape; must be set before jax import.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_tpu_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
 
 
 def make_scene(rng, n_world=200_000, extent=80.0):

@@ -132,3 +132,45 @@ def test_build_occupancy_from_track_data(rng):
     grid = occ.build_occupancy_from_track_data(data, resolution=0.25,
                                                max_range=20.0)
     assert len(grid.occupied_points()) > 0
+
+
+def test_assembler_feeds_slam_pipeline(rng):
+    """Packets -> revolutions -> online SLAM: full sensor-to-trajectory
+    integration (the reference's assembler -> worker topic chain)."""
+    import jax.numpy as jnp
+    from laser_slam_tpu.config import (EstimatorConfig, IcpConfig,
+                                       InputFilterConfig, LaserTrackConfig,
+                                       SolverConfig)
+    from laser_slam_tpu.pipeline import online
+    from laser_slam_tpu.pipeline import replay
+
+    # Build revolutions from a synthetic stream, split them into packets,
+    # reassemble, and run SLAM on the assembled output.
+    frames = list(replay.SyntheticStream(
+        n_scans=3, points_per_scan=1024, trajectory='line', step_m=0.5,
+        noise_m=0.0, seed=30))
+    asm_obj = asm.RevolutionAssembler(AssemblerConfig(naive_assembling=True))
+    assembled = []
+    t = 0
+    for f in frames:
+        for pkt in asm.split_scan_into_packets(f.points, f.time_ns, 8):
+            out = asm_obj.push(asm.Packet(time_ns=t, points=pkt))
+            if out is not None:
+                assembled.append(out)
+            t += int(1e6)
+    assert len(assembled) >= 2
+
+    cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3, use_icp_factors=True,
+            odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+            input_filters=InputFilterConfig(scan_capacity=1024),
+            icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                          reading_sampling_ratio=1.0)),
+        solver=SolverConfig(gn_iterations=2, pcg_iterations=20))
+    runner = online.OnlineRunner(cfg, pose_capacity=16, factor_capacity=64)
+    for i, (stamp, cloud) in enumerate(assembled):
+        ok = runner.process_scan(stamp, cloud, frames[i].odom_pose7)
+        assert ok
+    traj = runner.trajectory()
+    assert len(traj) == len(assembled)

@@ -34,13 +34,26 @@ DEFAULT_ELEV_MAX = 0.25
 
 
 class RangeImage(NamedTuple):
-    """Rendered reference: per-pixel nearest point + normal + depth."""
-    payload: jax.Array     # [rows*cols, 6] (point xyz, normal xyz)
-    depth: jax.Array       # [rows*cols] range (inf = empty)
+    """Rendered reference: per-pixel nearest point + normal + depth.
+
+    ``neighborhood`` packs each pixel's whole search window into one row
+    ([rows*cols, W*7]: W slots of point(3) + normal(3) + occupied(1)),
+    built with dense rolls.  TPU gathers pay per-row DMA, so one wide
+    gather per query beats W narrow ones by ~W x.
+    """
+    payload: jax.Array       # [rows*cols, 6] (point xyz, normal xyz)
+    depth: jax.Array         # [rows*cols] range (inf = empty)
+    neighborhood: jax.Array  # [rows*cols, W*7]
     rows: int
     cols: int
     elev_min: float
     elev_max: float
+
+
+def _window_offsets(window: str):
+    if window == 'cross':
+        return ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+    return tuple((dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1))
 
 
 def _project(points, rows: int, cols: int, elev_min: float, elev_max: float):
@@ -57,13 +70,15 @@ def _project(points, rows: int, cols: int, elev_min: float, elev_max: float):
 
 
 @functools.partial(jax.jit, static_argnames=('rows', 'cols', 'elev_min',
-                                             'elev_max'))
+                                             'elev_max', 'window'))
 def build_range_image(reference: Cloud, ref_normals, rows: int = 64,
                       cols: int = 1024,
                       elev_min: float = DEFAULT_ELEV_MIN,
-                      elev_max: float = DEFAULT_ELEV_MAX) -> RangeImage:
+                      elev_max: float = DEFAULT_ELEV_MAX,
+                      window: str = '3x3') -> RangeImage:
     """Render the reference cloud (in its own sensor frame) into a range
-    image keeping the CLOSEST point per pixel (z-buffer scatter-min)."""
+    image keeping the CLOSEST point per pixel (z-buffer scatter-min), and
+    pack each pixel's search-window payloads into one row."""
     pts = reference.points
     row, col, r = _project(pts, rows, cols, elev_min, elev_max)
     flat = row * cols + col
@@ -79,8 +94,26 @@ def build_range_image(reference: Cloud, ref_normals, rows: int = 64,
     img_payload = jnp.zeros((n_pix, 6), jnp.float32)
     img_payload = img_payload.at[jnp.where(is_winner, flat, n_pix)].set(
         payload, mode='drop')
-    return RangeImage(payload=img_payload, depth=depth, rows=rows,
-                      cols=cols, elev_min=elev_min, elev_max=elev_max)
+
+    # Stacked neighborhood rows via dense rolls (no gathers).
+    occupied = jnp.isfinite(depth).astype(jnp.float32)
+    slot = jnp.concatenate([img_payload, occupied[:, None]], axis=1)
+    grid = slot.reshape(rows, cols, 7)
+    slots = []
+    for dr, dc in _window_offsets(window):
+        shifted = jnp.roll(grid, (-dr, -dc), axis=(0, 1))
+        if dr == -1:   # row 0 has no upper neighbor
+            shifted = shifted.at[0].set(0.0)
+        elif dr == 1:  # last row has no lower neighbor
+            shifted = shifted.at[-1].set(0.0)
+        # column rolls wrap naturally (azimuth wraps)
+        slots.append(shifted)
+    neighborhood = jnp.concatenate(slots, axis=-1).reshape(
+        n_pix, 7 * len(slots))
+    return RangeImage(payload=img_payload, depth=depth,
+                      neighborhood=neighborhood,
+                      rows=rows, cols=cols,
+                      elev_min=elev_min, elev_max=elev_max)
 
 
 @functools.partial(jax.jit, static_argnames=('rows', 'cols', 'elev_min',
@@ -144,24 +177,26 @@ def range_image_normals(cloud: Cloud, rows: int = 64, cols: int = 1024,
 
 @functools.partial(jax.jit, static_argnames=())
 def nn_projective(queries: jax.Array, image: RangeImage):
-    """Projective 1-NN: project each query, test its 3x3 pixel window,
-    return (nearest point [Q,3], normal [Q,3], sq distance [Q])."""
+    """Projective 1-NN: project each query, test its pixel window,
+    return (nearest point [Q,3], normal [Q,3], sq distance [Q]).
+
+    The window's candidates come from ONE wide gather of the packed
+    neighborhood row (TPU gathers pay per row, not per byte — W narrow
+    gathers would cost W x more).  Window shape is baked into the image
+    (build_range_image(window=...)).
+    """
     rows, cols = image.rows, image.cols
     row, col, _ = _project(queries, rows, cols, image.elev_min,
                            image.elev_max)
+    flat = row * cols + col
 
-    cand_d2 = jnp.full((queries.shape[0],), jnp.inf, jnp.float32)
-    cand_pay = jnp.zeros((queries.shape[0], 6), jnp.float32)
-    for dr in (-1, 0, 1):
-        for dc in (-1, 0, 1):
-            rr = jnp.clip(row + dr, 0, rows - 1)
-            cc = jnp.mod(col + dc, cols)  # azimuth wraps
-            flat = rr * cols + cc
-            pay = image.payload[flat]
-            occupied = jnp.isfinite(image.depth[flat])
-            d2 = jnp.sum((pay[:, :3] - queries) ** 2, axis=1)
-            d2 = jnp.where(occupied, d2, jnp.inf)
-            take = d2 < cand_d2
-            cand_d2 = jnp.where(take, d2, cand_d2)
-            cand_pay = jnp.where(take[:, None], pay, cand_pay)
-    return cand_pay[:, :3], cand_pay[:, 3:], cand_d2
+    W = image.neighborhood.shape[1] // 7
+    cand = image.neighborhood[flat].reshape(queries.shape[0], W, 7)
+    pts = cand[..., 0:3]
+    occupied = cand[..., 6] > 0.5
+    d2 = jnp.sum((pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(occupied, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=-1)
+    sel = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0]
+    best_d2 = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+    return sel[:, 0:3], sel[:, 3:6], best_d2

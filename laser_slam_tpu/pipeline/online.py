@@ -35,16 +35,22 @@ from laser_slam_tpu.ops import se3
 
 
 class OnlineState(NamedTuple):
-    """All-device SLAM state (pose table, scan ring, factor graph)."""
-    # Trajectory / pose table; key == index.
+    """All-device SLAM state (pose table, scan rings, factor graph).
+
+    Multi-robot: keys live in ONE global pose table (as in the reference,
+    where N LaserTracks share one iSAM2 graph — incremental_estimator.cpp:
+    22-26); each track has its own scan ring and last-key cursor.
+    """
+    # Trajectory / pose table; key == index (global across tracks).
     traj_poses: jax.Array      # [C,7] current estimates
     pose_meas: jax.Array       # [C,7] raw odometry measurement per key
     n_poses: jax.Array         # int32 scalar
-    # Scan ring: the last K scans (newest at index -1).
-    ring_points: jax.Array     # [K,N,3]
-    ring_mask: jax.Array       # [K,N]
-    ring_normals: jax.Array    # [K,N,3]
-    ring_keys: jax.Array       # [K] int32 (-1 = empty)
+    # Per-track scan rings: the last K scans (newest at index -1).
+    ring_points: jax.Array     # [T,K,N,3]
+    ring_mask: jax.Array       # [T,K,N]
+    ring_normals: jax.Array    # [T,K,N,3]
+    ring_keys: jax.Array       # [T,K] int32 (-1 = empty)
+    track_last_key: jax.Array  # [T] int32 (-1 = track has no scans yet)
     # Factor graph.
     rel_meas: jax.Array        # [F,7]
     rel_keys: jax.Array        # [F,2]
@@ -73,10 +79,11 @@ class StepInfo(NamedTuple):
 
 def init_state(config: EstimatorConfig, pose_capacity: int = 4096,
                factor_capacity: int = 8192, prior_capacity: int = 8,
-               seed: int = 0) -> OnlineState:
+               seed: int = 0, n_tracks: int = 1) -> OnlineState:
     lt = config.laser_track
     K = max(lt.nscan_in_sub_map - 1, 1)
     N = lt.input_filters.scan_capacity
+    T = n_tracks
 
     def eye_rows(n):
         # Distinct buffers per field: donation forbids aliased state leaves.
@@ -85,10 +92,11 @@ def init_state(config: EstimatorConfig, pose_capacity: int = 4096,
     return OnlineState(
         traj_poses=eye_rows(pose_capacity),
         pose_meas=eye_rows(pose_capacity), n_poses=jnp.int32(0),
-        ring_points=jnp.full((K, N, 3), pc.SENTINEL, jnp.float32),
-        ring_mask=jnp.zeros((K, N), bool),
-        ring_normals=jnp.zeros((K, N, 3), jnp.float32),
-        ring_keys=jnp.full((K,), -1, jnp.int32),
+        ring_points=jnp.full((T, K, N, 3), pc.SENTINEL, jnp.float32),
+        ring_mask=jnp.zeros((T, K, N), bool),
+        ring_normals=jnp.zeros((T, K, N, 3), jnp.float32),
+        ring_keys=jnp.full((T, K), -1, jnp.int32),
+        track_last_key=jnp.full((T,), -1, jnp.int32),
         rel_meas=eye_rows(factor_capacity),
         rel_keys=jnp.zeros((factor_capacity, 2), jnp.int32),
         rel_sqrt_info=jnp.zeros((factor_capacity, 6), jnp.float32),
@@ -124,9 +132,10 @@ def _graph_view(state: OnlineState) -> FactorGraphData:
 @functools.partial(jax.jit, static_argnames=('config',),
                    donate_argnums=(0,))
 def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
-                odom_pose7: jax.Array,
-                config: EstimatorConfig) -> Tuple[OnlineState, StepInfo]:
-    """Integrate one scan.  ``points`` padded to the scan capacity."""
+                odom_pose7: jax.Array, config: EstimatorConfig,
+                track_id: jax.Array = jnp.int32(0)
+                ) -> Tuple[OnlineState, StepInfo]:
+    """Integrate one scan of one track.  ``points`` padded to capacity."""
     lt = config.laser_track
     key_rng, sub1, sub2 = jax.random.split(state.rng_key, 3)
 
@@ -148,18 +157,23 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
         normals = pc.estimate_normals(scan, knn=lt.icp.normal_knn)
 
     i = state.n_poses
+    prev_key = state.track_last_key[track_id]
     odom = se3.normalize(odom_pose7)
 
     def first_branch(state):
         prior_T = odom
         if lt.force_priors:
-            prior_T = jnp.asarray(
-                [1, 0, 0, 0, 0, 0, 0], jnp.float32)
+            # Offset tracks along y (laser_track.cpp:166-170).
+            offset = (jnp.float32(lt.distance_between_prior_poses_m) *
+                      track_id.astype(jnp.float32))
+            prior_T = jnp.concatenate(
+                [jnp.asarray([1.0, 0, 0, 0, 0.0], jnp.float32),
+                 offset[None], jnp.zeros((1,), jnp.float32)])
         state = state._replace(
-            traj_poses=state.traj_poses.at[0].set(prior_T),
-            pose_meas=state.pose_meas.at[0].set(odom),
+            traj_poses=state.traj_poses.at[i].set(prior_T),
+            pose_meas=state.pose_meas.at[i].set(odom),
             prior_meas=state.prior_meas.at[state.n_prior].set(prior_T),
-            prior_keys=state.prior_keys.at[state.n_prior].set(0),
+            prior_keys=state.prior_keys.at[state.n_prior].set(i),
             prior_sqrt_info=state.prior_sqrt_info.at[state.n_prior].set(
                 1.0 / config.prior_noise_sigma),
             prior_weight=state.prior_weight.at[state.n_prior].set(1.0),
@@ -169,24 +183,29 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
         return state
 
     def normal_branch(state):
-        prev_meas = state.pose_meas[i - 1]
+        prev_meas = state.pose_meas[prev_key]
         rel = se3.compose(se3.inverse(prev_meas), odom)
-        prev_traj = state.traj_poses[i - 1]
+        prev_traj = state.traj_poses[prev_key]
         propagated = se3.normalize(se3.compose(prev_traj, rel))
 
-        # Scan-to-submap ICP in frame (i-1) (laser_track.cpp:466-519).
+        # Scan-to-submap ICP in the previous scan's frame
+        # (laser_track.cpp:466-519).
         T_a_w = se3.inverse(prev_traj)
+        ring_keys = state.ring_keys[track_id]
+        ring_points = state.ring_points[track_id]
+        ring_mask = state.ring_mask[track_id]
+        ring_normals = state.ring_normals[track_id]
         ring_rel = jax.vmap(lambda k: jnp.where(
             k >= 0,
             se3.compose(T_a_w, state.traj_poses[jnp.maximum(k, 0)]),
-            se3.identity()))(state.ring_keys)
-        pts = se3.apply(ring_rel[:, None, :], state.ring_points)
-        nrm = se3.quat_rotate(ring_rel[:, None, :4], state.ring_normals)
-        K, N, _ = state.ring_points.shape
+            se3.identity()))(ring_keys)
+        pts = se3.apply(ring_rel[:, None, :], ring_points)
+        nrm = se3.quat_rotate(ring_rel[:, None, :4], ring_normals)
+        K, N, _ = ring_points.shape
         submap = pc.Cloud(
-            jnp.where(state.ring_mask[..., None], pts,
+            jnp.where(ring_mask[..., None], pts,
                       pc.SENTINEL).reshape(K * N, 3),
-            state.ring_mask.reshape(K * N))
+            ring_mask.reshape(K * N))
         submap_normals = nrm.reshape(K * N, 3)
 
         reading = scan
@@ -202,7 +221,7 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
         n_rel = state.n_rel
         odo_sig = 1.0 / jnp.asarray(lt.odometry_noise_model, jnp.float32)
         icp_sig = 1.0 / jnp.asarray(lt.icp_noise_model, jnp.float32)
-        keys_ab = jnp.stack([i - 1, i])
+        keys_ab = jnp.stack([prev_key, i])
         state = state._replace(
             rel_meas=state.rel_meas.at[n_rel].set(rel)
             .at[n_rel + 1].set(icp_res.T),
@@ -225,7 +244,7 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
             last_icp_inliers=icp_res.num_inliers)
         return state
 
-    state = jax.lax.cond(i == 0, first_branch, normal_branch, state)
+    state = jax.lax.cond(prev_key < 0, first_branch, normal_branch, state)
 
     # --- incremental solve (incremental_estimator.cpp:151-163) ----------
     idx = jnp.arange(state.traj_poses.shape[0])
@@ -262,24 +281,32 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
         n_poses=i + 1,
         rng_key=key_rng,
         last_error=result.error_final,
-        # Ring push (newest scan last).
-        ring_points=jnp.roll(state.ring_points, -1, axis=0)
-        .at[-1].set(scan.points),
-        ring_mask=jnp.roll(state.ring_mask, -1, axis=0).at[-1].set(scan.mask),
-        ring_normals=jnp.roll(state.ring_normals, -1, axis=0)
-        .at[-1].set(normals),
-        ring_keys=jnp.roll(state.ring_keys, -1).at[-1].set(i))
+        # Ring push for this track (newest scan last).
+        ring_points=state.ring_points.at[track_id].set(
+            jnp.roll(state.ring_points[track_id], -1, axis=0)
+            .at[-1].set(scan.points)),
+        ring_mask=state.ring_mask.at[track_id].set(
+            jnp.roll(state.ring_mask[track_id], -1, axis=0)
+            .at[-1].set(scan.mask)),
+        ring_normals=state.ring_normals.at[track_id].set(
+            jnp.roll(state.ring_normals[track_id], -1, axis=0)
+            .at[-1].set(normals)),
+        ring_keys=state.ring_keys.at[track_id].set(
+            jnp.roll(state.ring_keys[track_id], -1).at[-1].set(i)),
+        track_last_key=state.track_last_key.at[track_id].set(i))
     info = StepInfo(key=i, icp_valid=state.last_icp_valid,
                     icp_inliers=state.last_icp_inliers,
                     solve_error=state.last_error)
     return state, info
 
 
-@functools.partial(jax.jit, static_argnames=('config',),
+@functools.partial(jax.jit, static_argnames=('config', 'use_association'),
                    donate_argnums=(0,))
 def online_loop_closure(state: OnlineState, key_a: jax.Array,
                         key_b: jax.Array, w_T_a_b: jax.Array,
-                        config: EstimatorConfig
+                        config: EstimatorConfig,
+                        remove_prior_slot: jax.Array = jnp.int32(-1),
+                        use_association: bool = False
                         ) -> Tuple[OnlineState, StepInfo]:
     """Add a loop-closure factor between two existing keys and re-solve.
 
@@ -292,16 +319,30 @@ def online_loop_closure(state: OnlineState, key_a: jax.Array,
     T_w_b = state.traj_poses[key_b]
     a_T_a_b = se3.compose(se3.inverse(T_w_a),
                           se3.compose(se3.normalize(w_T_a_b), T_w_b))
-    sig = 1.0 / jnp.asarray(config.loop_closure_noise_model, jnp.float32)
+    # Cross-track linking closures use the tighter first-association
+    # sigmas and deactivate the absorbed track's prior — pass
+    # remove_prior_slot >= 0 + use_association=True
+    # (incremental_estimator.cpp:240-258).
+    if use_association:
+        sig = 1.0 / jnp.asarray(config.first_association_noise_model,
+                                jnp.float32)
+        robust = False
+    else:
+        sig = 1.0 / jnp.asarray(config.loop_closure_noise_model, jnp.float32)
+        robust = config.add_m_estimator_on_loop_closures
     n_rel = state.n_rel
     state = state._replace(
         rel_meas=state.rel_meas.at[n_rel].set(a_T_a_b),
         rel_keys=state.rel_keys.at[n_rel].set(jnp.stack([key_a, key_b])),
         rel_sqrt_info=state.rel_sqrt_info.at[n_rel].set(sig),
-        rel_robust=state.rel_robust.at[n_rel].set(
-            config.add_m_estimator_on_loop_closures),
+        rel_robust=state.rel_robust.at[n_rel].set(robust),
         rel_weight=state.rel_weight.at[n_rel].set(1.0),
-        n_rel=n_rel + 1)
+        n_rel=n_rel + 1,
+        # Negative slot -> out-of-bounds write, dropped (negative indices
+        # would otherwise wrap).
+        prior_weight=state.prior_weight.at[
+            jnp.where(remove_prior_slot >= 0, remove_prior_slot,
+                      state.prior_weight.shape[0])].set(0.0, mode='drop'))
     pose_mask = jnp.arange(state.traj_poses.shape[0]) < state.n_poses
     result = sv.solve(_graph_view(state), state.traj_poses, pose_mask,
                       config.solver)
@@ -321,44 +362,94 @@ def extract_trajectory(state: OnlineState) -> np.ndarray:
 
 class OnlineRunner:
     """Host driver for the online fast path: distance gating on host
-    odometry, everything else on device."""
+    odometry, everything else on device.  Supports N tracks (multi-robot)
+    sharing one pose table and graph, with the reference's linked-worker
+    prior-removal semantics (incremental_estimator.cpp:165-266) handled
+    through host bookkeeping + device weight writes."""
 
     def __init__(self, config: EstimatorConfig, pose_capacity: int = 4096,
                  factor_capacity: int = 8192,
-                 minimum_distance_to_add_pose: float = 0.0, seed: int = 0):
+                 minimum_distance_to_add_pose: float = 0.0, seed: int = 0,
+                 n_tracks: int = 1):
         self.config = config
+        self.n_tracks = n_tracks
         self.state = init_state(config, pose_capacity, factor_capacity,
-                                seed=seed)
+                                seed=seed, n_tracks=n_tracks)
         self.min_dist = minimum_distance_to_add_pose
-        self._last_odom: Optional[np.ndarray] = None
-        self.times: list = []
+        self._last_odom: list = [None] * n_tracks
+        # (track_id, time_ns) per key, in key order.
+        self.key_info: list = []
         self.scan_cap = config.laser_track.input_filters.scan_capacity
+        # Multi-robot bookkeeping (mirrors IncrementalEstimator).
+        self._linked_groups: list = []
+        self._prior_slot_of_track: dict = {}
+        self._n_priors_seen = 0
 
     def process_scan(self, time_ns: int, points: np.ndarray,
-                     odom_pose7: np.ndarray) -> bool:
+                     odom_pose7: np.ndarray, track_id: int = 0) -> bool:
         odom_pose7 = np.asarray(odom_pose7, np.float32)
-        if self._last_odom is not None and self.min_dist > 0:
-            if np.linalg.norm(odom_pose7[4:] - self._last_odom[4:]) \
-                    <= self.min_dist:
+        last = self._last_odom[track_id]
+        if last is not None and self.min_dist > 0:
+            if np.linalg.norm(odom_pose7[4:] - last[4:]) <= self.min_dist:
                 return False
-        self._last_odom = odom_pose7
+        self._last_odom[track_id] = odom_pose7
 
+        first_scan_of_track = not any(t == track_id
+                                      for t, _ in self.key_info)
         pts = np.asarray(points, np.float32)
         n = min(len(pts), self.scan_cap)
         padded = np.full((self.scan_cap, 3), pc.SENTINEL, np.float32)
         padded[:n] = pts[:n]
         self.state, _ = online_step(self.state, jnp.asarray(padded),
                                     jnp.int32(n), jnp.asarray(odom_pose7),
-                                    self.config)
-        self.times.append(time_ns)
+                                    self.config, jnp.int32(track_id))
+        self.key_info.append((track_id, time_ns))
+        if first_scan_of_track:
+            # Prior slots are allocated in first-scan order
+            # (registerPrior, incremental_estimator.cpp:268-291).
+            if track_id > 0:
+                self._prior_slot_of_track[track_id] = self._n_priors_seen
+            self._n_priors_seen += 1
+            self._linked_groups.append([track_id])
         return True
 
     def add_loop_closure(self, key_a: int, key_b: int,
                          w_T_a_b: np.ndarray) -> None:
+        """Inject a loop closure (keys are global).  Cross-track closures
+        that link two previously unlinked groups remove the absorbed
+        group's prior and use the first-association noise model
+        (estimateAndRemove semantics)."""
+        track_a = self.key_info[key_a][0]
+        track_b = self.key_info[key_b][0]
+        remove_slot = -1
+        use_assoc = False
+        if track_a != track_b:
+            ga = self._find_group(track_a)
+            gb = self._find_group(track_b)
+            if ga is not gb:
+                keep, drop = (ga, gb) if 0 in ga else (gb, ga)
+                for tid in drop:
+                    if tid in self._prior_slot_of_track:
+                        remove_slot = self._prior_slot_of_track.pop(tid)
+                        use_assoc = True
+                keep.extend(drop)
+                self._linked_groups.remove(drop)
         self.state, _ = online_loop_closure(
             self.state, jnp.int32(key_a), jnp.int32(key_b),
-            jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config)
+            jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
+            remove_prior_slot=jnp.int32(remove_slot),
+            use_association=use_assoc)
 
-    def trajectory(self) -> dict:
+    def _find_group(self, track_id: int) -> list:
+        for g in self._linked_groups:
+            if track_id in g:
+                return g
+        g = [track_id]
+        self._linked_groups.append(g)
+        return g
+
+    def trajectory(self, track_id: Optional[int] = None) -> dict:
+        """{time_ns: pose7}; pass track_id to select one robot's track."""
         poses = extract_trajectory(self.state)
-        return {t: poses[i] for i, t in enumerate(self.times)}
+        return {t: poses[i] for i, (tid, t) in enumerate(self.key_info)
+                if track_id is None or tid == track_id}

@@ -110,3 +110,38 @@ def test_icp_vmap_batch(rng):
     err = np.linalg.norm(np.asarray(
         se3.translation(results.T) - se3.translation(T_true)), axis=-1)
     assert np.all(err < 0.02), err
+
+
+def test_trim_histogram_approximates_sort(rng):
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops.icp import _trim_mask
+    d2 = jnp.asarray(rng.uniform(0, 4.0, 4096).astype(np.float32) ** 2)
+    valid = jnp.asarray(rng.uniform(size=4096) > 0.1)
+    exact = _trim_mask(d2, valid, 0.75, method='sort')
+    approx = _trim_mask(d2, valid, 0.75, method='histogram', d2_max=16.0)
+    n_exact = int(jnp.sum(exact))
+    n_approx = int(jnp.sum(approx))
+    # Conservative: keeps at least the exact set size, within a bin's worth.
+    assert n_approx >= n_exact
+    assert n_approx <= n_exact * 1.05 + 32
+    # Everything the exact trim keeps is kept by the approximation.
+    assert bool(jnp.all(~exact | approx))
+
+
+def test_icp_fast_config_matches_exact(rng):
+    """histogram trim + cross window must preserve registration quality."""
+    pts = synthetic_scene(rng, n=2048)
+    ref = pc.make_cloud(pts, capacity=2048)
+    normals = pc.estimate_normals(ref, knn=10)
+    T_true = se3.exp(jnp.asarray([0.01, -0.02, 0.03, 0.25, -0.15, 0.05],
+                                 jnp.float32))
+    reading = pc.transform(se3.inverse(T_true), ref)
+    fast = IcpConfig(matcher='projective', trim_method='histogram',
+                     range_image_window='cross', range_image_rows=32,
+                     range_image_cols=512, range_image_elev_min=-0.4,
+                     range_image_elev_max=0.4)
+    res = icp_mod.icp(reading, ref, normals, se3.identity(), fast)
+    assert bool(res.valid)
+    err_t = np.linalg.norm(np.asarray(
+        se3.translation(res.T) - se3.translation(T_true)))
+    assert err_t < 0.02, err_t

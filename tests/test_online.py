@@ -148,3 +148,53 @@ def test_online_range_image_normals(rng):
     errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
             for f in frames]
     assert max(errs) < 0.12, errs
+
+
+def test_online_multi_robot_linking(rng):
+    """Two tracks with forced priors; a cross-track closure links them,
+    removes track 1's prior and pulls it into track 0's frame — the
+    online equivalent of test_multi_robot_linking."""
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops import se3
+
+    base = make_config()
+    lt = base.laser_track
+    cfg = base.__class__(**{
+        **base.__dict__,
+        'laser_track': lt.__class__(**{**lt.__dict__,
+                                       'force_priors': True,
+                                       'use_icp_factors': False})})
+    runner = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256,
+                                 n_tracks=2)
+    streams = [list(replay.SyntheticStream(
+        n_scans=3, points_per_scan=1024, trajectory='line', step_m=0.6,
+        noise_m=0.005, seed=40 + t)) for t in range(2)]
+    # Interleave the two robots' scans.
+    for i in range(3):
+        for t in range(2):
+            f = streams[t][i]
+            assert runner.process_scan(f.time_ns + t, f.points,
+                                       f.odom_pose7, track_id=t)
+
+    traj0 = runner.trajectory(0)
+    traj1 = runner.trajectory(1)
+    assert len(traj0) == 3 and len(traj1) == 3
+    # Forced priors: track 1 offset 100 m in y.
+    p1 = list(traj1.values())[0]
+    assert abs(p1[5] - 100.0) < 1.0, p1
+
+    # Cross-track closure: both robots at the same true place at scan 2.
+    key_a = [i for i, (t, _) in enumerate(runner.key_info) if t == 0][2]
+    key_b = [i for i, (t, _) in enumerate(runner.key_info) if t == 1][2]
+    poses = online.extract_trajectory(runner.state)
+    T_w_a = jnp.asarray(poses[key_a])
+    T_w_b = jnp.asarray(poses[key_b])
+    w_T_a_b = se3.compose(T_w_a, se3.inverse(T_w_b))
+    runner.add_loop_closure(key_a, key_b, np.asarray(w_T_a_b))
+
+    # Groups merged, prior removed, track 1 pulled to track 0's frame.
+    assert runner._prior_slot_of_track == {}
+    assert len(runner._linked_groups) == 1
+    poses2 = online.extract_trajectory(runner.state)
+    d = np.linalg.norm(poses2[key_a][4:] - poses2[key_b][4:])
+    assert d < 1.0, (d, poses2[key_a], poses2[key_b])

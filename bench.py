@@ -127,7 +127,44 @@ def bench_cpu(rng, world, ref_np, normals_np, readings, n_runs=5):
 # TPU benchmark
 # ---------------------------------------------------------------------------
 
+def cpu_normals(ref_np, knn=10):
+    """Setup-only normal estimation for the CPU baseline (kNN PCA)."""
+    from scipy.spatial import cKDTree
+    tree = cKDTree(ref_np)
+    _, idx = tree.query(ref_np, k=knn)
+    neigh = ref_np[idx]
+    centered = neigh - neigh.mean(axis=1, keepdims=True)
+    cov = np.einsum('nki,nkj->nij', centered, centered)
+    _, vecs = np.linalg.eigh(cov)
+    return np.ascontiguousarray(vecs[..., 0])
+
+
 def main():
+    rng = np.random.default_rng(0)
+    REF_N = 65536
+    READ_N = 8192
+    N_SOLVES = 16
+
+    world = make_scene(rng)
+    pose0 = np.array([0.0, 0.0, 1.8])
+    ref_np = sample_scan(rng, world, pose0, REF_N)
+    readings_np = []
+    for i in range(N_SOLVES):
+        dp = pose0 + rng.normal(size=3) * np.array([0.5, 0.5, 0.02])
+        readings_np.append(sample_scan(rng, world, dp, READ_N))
+
+    extras = {}
+
+    # CPU baseline FIRST, before jax imports: the single host core must be
+    # quiet or the baseline reads artificially slow (observed 2-4x noise
+    # once jax runtime threads exist).
+    normals_cpu = cpu_normals(ref_np)
+    cpu_mean_s, cpu_iters = bench_cpu(rng, world, ref_np, normals_cpu,
+                                      readings_np, n_runs=5)
+    cpu_rate = 1.0 / cpu_mean_s
+    extras['cpu_kdtree_pairs_per_sec'] = round(cpu_rate, 3)
+    extras['cpu_mean_iters'] = round(cpu_iters, 1)
+
     import jax
     import jax.numpy as jnp
     import laser_slam_tpu  # noqa: F401
@@ -138,26 +175,10 @@ def main():
     from laser_slam_tpu.graph import factors as fg
     from laser_slam_tpu.graph import solver as sv
 
-    rng = np.random.default_rng(0)
-    REF_N = 65536
-    READ_N = 8192
-    N_SOLVES = 16
-
-    world = make_scene(rng)
-    pose0 = np.array([0.0, 0.0, 1.8])
-    ref_np = sample_scan(rng, world, pose0, REF_N)
     ref = pc.make_cloud(ref_np, capacity=REF_N)
     normals = pc.estimate_normals(ref, knn=10)
-    normals_np = np.asarray(normals)
-
-    # Pre-stage readings: scans from slightly moved poses.
-    readings_np = []
-    for i in range(N_SOLVES):
-        dp = pose0 + rng.normal(size=3) * np.array([0.5, 0.5, 0.02])
-        readings_np.append(sample_scan(rng, world, dp, READ_N))
     readings = [pc.make_cloud(r, capacity=READ_N) for r in readings_np]
 
-    extras = {}
     device = jax.devices()[0]
     extras['device'] = str(device)
 
@@ -207,13 +228,6 @@ def main():
     extras['tpu_batch32_mean_trans_m'] = round(float(t_norm.mean()), 3)
 
     tpu_best = max(max(results.values()), batch_rate)
-
-    # CPU baseline (same workload, single thread, kd-tree matcher).
-    cpu_mean_s, cpu_iters = bench_cpu(rng, world, ref_np, normals_np,
-                                      readings_np, n_runs=3)
-    cpu_rate = 1.0 / cpu_mean_s
-    extras['cpu_kdtree_pairs_per_sec'] = round(cpu_rate, 3)
-    extras['cpu_mean_iters'] = round(cpu_iters, 1)
 
     # Incremental GN solve at a 10k-pose graph.
     NP_ = 10_000
@@ -295,9 +309,10 @@ def main():
     odom_rel = np.zeros((B_f, T_f, 7), np.float32)
     odom_rel[:, :, 0] = 1.0
     odom_rel[:, 1:, 4] = 0.3
-    fleet_cfg = IcpConfig(matcher='projective', reading_capacity=N_f,
-                          reading_sampling_ratio=1.0, max_iterations=8,
-                          range_image_window='cross')
+    # Scan-to-scan at 4096 points: exact brute NN beats projective here
+    # (the per-pair render overhead dominates at this size).
+    fleet_cfg = IcpConfig(matcher='brute', reading_capacity=N_f,
+                          reading_sampling_ratio=1.0, max_iterations=8)
     args_f = (jnp.asarray(fl_pts), jnp.asarray(fl_mask), jnp.asarray(fl_norm),
               jnp.asarray(init_pose), jnp.asarray(odom_rel))
     jax.block_until_ready(

@@ -384,6 +384,7 @@ class OnlineRunner:
         self._linked_groups: list = []
         self._prior_slot_of_track: dict = {}
         self._n_priors_seen = 0
+        self._tracks_seen: set = set()
 
     def process_scan(self, time_ns: int, points: np.ndarray,
                      odom_pose7: np.ndarray, track_id: int = 0) -> bool:
@@ -394,8 +395,8 @@ class OnlineRunner:
                 return False
         self._last_odom[track_id] = odom_pose7
 
-        first_scan_of_track = not any(t == track_id
-                                      for t, _ in self.key_info)
+        first_scan_of_track = track_id not in self._tracks_seen
+        self._tracks_seen.add(track_id)
         pts = np.asarray(points, np.float32)
         n = min(len(pts), self.scan_cap)
         padded = np.full((self.scan_cap, 3), pc.SENTINEL, np.float32)

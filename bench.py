@@ -210,16 +210,19 @@ def main():
     cfg_b = IcpConfig(matcher='projective', reading_capacity=READ_N,
                       reading_sampling_ratio=1.0,
                       range_image_window='cross')
-    batch_pts = jnp.stack([readings[i % N_SOLVES].points for i in range(B)])
-    batch_mask = jnp.stack([readings[i % N_SOLVES].mask for i in range(B)])
     vsolve = jax.jit(jax.vmap(lambda p, m: icp_mod.icp_point_to_plane(
         pc.Cloud(p, m), ref, normals, se3.identity(), cfg_b)))
-    jax.block_until_ready(vsolve(batch_pts, batch_mask))
-    t0 = time.perf_counter()
     reps = 4
-    for _ in range(reps):
-        out = vsolve(batch_pts, batch_mask)
-    jax.block_until_ready(out)
+    batches = []
+    for rep in range(reps):
+        sel = [readings[(i + rep * 3) % N_SOLVES] for i in range(B)]
+        batches.append((jnp.stack([c.points for c in sel]),
+                        jnp.stack([c.mask for c in sel])))
+    jax.block_until_ready(vsolve(*batches[0]))
+    t0 = time.perf_counter()
+    outs = [vsolve(*b) for b in batches[::-1]]  # distinct inputs per rep
+    jax.block_until_ready(outs)
+    out = outs[-1]
     batch_rate = B * reps / (time.perf_counter() - t0)
     extras['tpu_batch32_pairs_per_sec'] = round(batch_rate, 2)
     # Registration quality stays tight in batch mode (readings come from
@@ -249,16 +252,43 @@ def main():
     # Perturb the initialization so the solve does real work (an
     # at-optimum graph lets PCG exit immediately and flatters the number).
     poses[:NP_, 4:] += rng.normal(size=(NP_, 3)).astype(np.float32) * 0.05
+    # NOTE: repeated executions with identical device inputs can be served
+    # from an execution cache on this platform — every timed repetition
+    # below uses distinct inputs.
     scfg = SolverConfig(gn_iterations=3, pcg_iterations=32)
     data = g.to_device()
-    jposes, jmask = jnp.asarray(poses), jnp.asarray(mask)
-    out = jax.block_until_ready(sv.solve(data, jposes, jmask, scfg))
+    jmask = jnp.asarray(mask)
+    inits = []
+    for rep in range(5):
+        p = poses.copy()
+        p[:NP_, 4:] += rng.normal(size=(NP_, 3)).astype(np.float32) * 0.01
+        inits.append(jnp.asarray(p))
+    out = jax.block_until_ready(sv.solve(data, inits[0], jmask, scfg))
     t0 = time.perf_counter()
-    for _ in range(5):
-        out = sv.solve(data, jposes, jmask, scfg)
-    jax.block_until_ready(out)
-    extras['tpu_gn_solve_10k_ms'] = round(
+    outs = [sv.solve(data, p, jmask, scfg) for p in inits]
+    jax.block_until_ready(outs)
+    extras['tpu_gn_solve_10k_cold_ms'] = round(
         (time.perf_counter() - t0) / 5 * 1e3, 2)
+
+    # Incremental semantics (the iSAM2-equivalent per-scan cost): warm-
+    # started from the previous optimum with one new loop-closure factor;
+    # PCG exits on tolerance.
+    warm_sets = [o.poses for o in outs]
+    g.add_relative(1234, 8765, np.asarray(
+        np.concatenate([[1, 0, 0, 0], [8765.0 - 1234.0, 0.05, 0]])
+        .astype(np.float32)), sig)
+    data2 = g.to_device()
+    scfg_inc = SolverConfig(gn_iterations=3, pcg_iterations=32,
+                            pcg_tolerance=1e-4)
+    out2 = jax.block_until_ready(sv.solve(data2, warm_sets[0], jmask,
+                                          scfg_inc))
+    t0 = time.perf_counter()
+    outs2 = [sv.solve(data2, w, jmask, scfg_inc) for w in warm_sets]
+    jax.block_until_ready(outs2)
+    extras['tpu_gn_solve_10k_incremental_ms'] = round(
+        (time.perf_counter() - t0) / 5 * 1e3, 2)
+    extras['tpu_gn_solve_final_error'] = round(
+        float(outs2[0].error_final), 2)
 
     # End-to-end online SLAM throughput (device-resident fast path):
     # scans/sec through filters + normals + scan-to-submap ICP +
@@ -315,10 +345,13 @@ def main():
                           reading_sampling_ratio=1.0, max_iterations=8)
     args_f = (jnp.asarray(fl_pts), jnp.asarray(fl_mask), jnp.asarray(fl_norm),
               jnp.asarray(init_pose), jnp.asarray(odom_rel))
+    # Distinct timed input (execution-cache safety).
+    args_f2 = (jnp.asarray(fl_pts + 0.001), args_f[1], args_f[2],
+               args_f[3], args_f[4])
     jax.block_until_ready(
         fleet_mod.fleet_icp_odometry(*args_f, fleet_cfg).poses)
     t0 = time.perf_counter()
-    out_f = fleet_mod.fleet_icp_odometry(*args_f, fleet_cfg)
+    out_f = fleet_mod.fleet_icp_odometry(*args_f2, fleet_cfg)
     jax.block_until_ready(out_f.poses)
     pair_count = B_f * (T_f - 1)
     extras['tpu_fleet256_pairs_per_sec'] = round(

@@ -119,6 +119,11 @@ class SolverConfig:
     # frozen anchors (O(window) per-step cost — loop closures trigger a
     # full solve regardless).
     window: int = 0
+    # PCG preconditioner: 'tridiagonal' solves the Hessian's chain part
+    # exactly per iteration (cyclic reduction, log N batched levels) —
+    # essential for distributing loop-closure corrections across long
+    # trajectories; 'jacobi' is the cheap local alternative.
+    preconditioner: str = 'tridiagonal'
     pose_capacity: int = 1024            # initial key budget; doubles on overflow
     factor_capacity: int = 4096          # initial factor budget
     cauchy_k: float = 1.0                # mEstimator::Cauchy::Create(1)

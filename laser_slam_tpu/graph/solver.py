@@ -290,12 +290,156 @@ def _block_jacobi(lin: _LinearizedGraph, damping):
     return _chol_inverse6(H)
 
 
-def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol):
-    """Block-Jacobi preconditioned CG for H x = b over [N,6] states."""
-    Minv = _block_jacobi(lin, damping)
+# ---------------------------------------------------------------------------
+# Block-tridiagonal preconditioner (cyclic reduction)
+# ---------------------------------------------------------------------------
+#
+# Pose graphs are chains plus sparse loop closures.  Block-Jacobi PCG moves
+# information ONE hop per iteration, so low-frequency corrections (exactly
+# what loop closures induce) need O(N) iterations on an N-pose chain —
+# iSAM2 has no such limitation.  The fix: precondition with the EXACT
+# solve of H's block-tridiagonal part (the chain), computed by cyclic
+# reduction — log2(N) levels of batched 6x6 algebra, each level halving
+# the system.  PCG then only has to correct for the off-chain factors.
 
-    def apply_M(r):
-        return jnp.einsum('nij,nj->ni', Minv, r)
+def _build_tridiag(lin: _LinearizedGraph, damping):
+    """Diagonal blocks B [N,6,6] and sub-diagonal blocks A [N,6,6]
+    (A[i] couples pose i to pose i-1) of the Hessian's chain part."""
+    n = lin.free.shape[0]
+    Ha = jnp.einsum('fji,fjk->fik', lin.Ja, lin.Ja * lin.w_rel[:, None, None])
+    Hb = jnp.einsum('fji,fjk->fik', lin.Jb, lin.Jb * lin.w_rel[:, None, None])
+    B = jnp.zeros((n, 6, 6), Ha.dtype).at[lin.keys[:, 0]].add(Ha)
+    B = B.at[lin.keys[:, 1]].add(Hb)
+    Hp = jnp.einsum('pji,pjk->pik', lin.Jp, lin.Jp * lin.w_prior[:, None, None])
+    B = B.at[lin.prior_keys].add(Hp)
+    eye = jnp.eye(6, dtype=B.dtype)
+    B = B * lin.free[:, None, None] + eye * (
+        damping + (1.0 - lin.free)[:, None, None])
+
+    # Chain coupling: factors with key_b == key_a + 1 contribute the
+    # off-diagonal block H[b,a] = Jb^T W Ja.  Couplings touching frozen
+    # poses are dropped (their rows/cols are identity).
+    chain = ((lin.keys[:, 1] == lin.keys[:, 0] + 1) &
+             (lin.free[lin.keys[:, 0]] > 0) & (lin.free[lin.keys[:, 1]] > 0))
+    Hba = jnp.einsum('fji,fjk->fik', lin.Jb,
+                     lin.Ja * lin.w_rel[:, None, None])
+    A = jnp.zeros((n, 6, 6), Ha.dtype).at[
+        jnp.where(chain, lin.keys[:, 1], n)].add(
+        jnp.where(chain[:, None, None], Hba, 0.0), mode='drop')
+
+    # Stabilize cyclic reduction in f32: deep Schur complements of long
+    # chains can go (numerically) indefinite.  A relative diagonal boost
+    # keeps every pivot SPD; the preconditioner only needs to be close,
+    # PCG absorbs the inexactness.
+    diag_mag = jnp.einsum('nii->n', B) / 6.0
+    B = B + (1e-3 * diag_mag)[:, None, None] * jnp.eye(6, dtype=B.dtype)
+    return B, A
+
+
+def _tridiag_factor(B, A):
+    """Cyclic-reduction factorization of an SPD block-tridiagonal system.
+
+    B: [N,6,6] diagonal blocks; A: [N,6,6] sub-diagonal (A[0] ignored).
+    N is padded to a power of two with decoupled identity blocks.
+    Returns the per-level factors for :func:`_tridiag_apply` — the matrix
+    part is independent of the right-hand side, so PCG factors once per
+    linearization and pays only the cheap r-sweep per iteration.
+    """
+    n0 = B.shape[0]
+    n = 1
+    while n < n0:
+        n *= 2
+    eye = jnp.eye(6, dtype=B.dtype)
+    if n != n0:
+        pad = n - n0
+        B = jnp.concatenate([B, jnp.broadcast_to(eye, (pad, 6, 6))])
+        A = jnp.concatenate([A, jnp.zeros((pad, 6, 6), A.dtype)])
+    # C[i] couples i to i+1: C_i = A_{i+1}^T.
+    C = jnp.concatenate([jnp.swapaxes(A[1:], -1, -2),
+                         jnp.zeros((1, 6, 6), A.dtype)])
+    A = A.at[0].set(0.0)
+
+    levels = []
+    while B.shape[0] > 1:
+        m = B.shape[0]
+        half = m // 2
+        Be, Ae, Ce = B[0::2], A[0::2], C[0::2]
+        Bo, Ao, Co = B[1::2], A[1::2], C[1::2]
+        Bo_inv = _chol_inverse6(Bo)
+        zero = jnp.zeros((1, 6, 6), B.dtype)
+        BoL_inv = jnp.concatenate([zero, Bo_inv[:half - 1]])
+        AoL = jnp.concatenate([zero, Ao[:half - 1]])
+        CoL = jnp.concatenate([zero, Co[:half - 1]])
+        G_left = Ae @ BoL_inv
+        G_right = Ce @ Bo_inv
+        levels.append((Bo_inv, Ao, Co, G_left, G_right))
+        B = Be - G_left @ CoL - G_right @ Ao
+        A = -G_left @ AoL
+        C = -G_right @ Co
+
+    root_inv = _chol_inverse6(B)
+    return (n0, levels, root_inv)
+
+
+def _tridiag_apply(factors, r):
+    """Solve T x = r given a cyclic-reduction factorization."""
+    n0, levels, root_inv = factors
+    n = 1
+    while n < n0:
+        n *= 2
+    if n != n0:
+        r = jnp.concatenate([r, jnp.zeros((n - n0, 6), r.dtype)])
+
+    ros = []
+    for Bo_inv, Ao, Co, G_left, G_right in levels:
+        re, ro = r[0::2], r[1::2]
+        ros.append(ro)
+        roL = jnp.concatenate([jnp.zeros((1, 6), r.dtype), ro[:-1]])
+        r = (re - jnp.einsum('nij,nj->ni', G_left, roL)
+             - jnp.einsum('nij,nj->ni', G_right, ro))
+
+    x = jnp.einsum('nij,nj->ni', root_inv, r)
+
+    for (Bo_inv, Ao, Co, _, _), ro in zip(reversed(levels), reversed(ros)):
+        # x holds the even positions; recover the odds:
+        # x_odd[k] = Bo_inv[k] (ro[k] - Ao[k] x_even[k] - Co[k] x_even[k+1])
+        x_even_next = jnp.concatenate([x[1:], jnp.zeros((1, 6), x.dtype)])
+        rhs = (ro - jnp.einsum('nij,nj->ni', Ao, x)
+               - jnp.einsum('nij,nj->ni', Co, x_even_next))
+        x_odd = jnp.einsum('nij,nj->ni', Bo_inv, rhs)
+        m2 = x.shape[0] + x_odd.shape[0]
+        out = jnp.zeros((m2, 6), x.dtype)
+        out = out.at[0::2].set(x).at[1::2].set(x_odd)
+        x = out
+    return x[:n0]
+
+
+def _tridiag_solve(B, A, r):
+    """Solve the SPD block-tridiagonal system T x = r by cyclic reduction
+    (factor + apply in one call)."""
+    return _tridiag_apply(_tridiag_factor(B, A), r)
+
+
+def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol,
+         preconditioner: str = 'jacobi'):
+    """Preconditioned CG for H x = b over [N,6] states.
+
+    preconditioner='jacobi': block-diagonal inverse (local smoothing only).
+    preconditioner='tridiagonal': exact solve of the Hessian's chain part
+    by cyclic reduction — converges in O(#loop-closures) iterations
+    instead of O(N) on chain-dominated pose graphs.
+    """
+    if preconditioner == 'tridiagonal':
+        B_tri, A_tri = _build_tridiag(lin, damping)
+        factors = _tridiag_factor(B_tri, A_tri)
+
+        def apply_M(r):
+            return _tridiag_apply(factors, r)
+    else:
+        Minv = _block_jacobi(lin, damping)
+
+        def apply_M(r):
+            return jnp.einsum('nij,nj->ni', Minv, r)
 
     def dot(u, v):
         return jnp.sum(u * v)
@@ -374,8 +518,11 @@ def solve(graph: FactorGraphData, poses, pose_mask,
     # elsewhere.
     gauge = (jnp.any(graph.prior_sqrt_info > GAUGE_FIX_THRESHOLD, axis=-1)
              & (graph.prior_weight > 0))
-    poses = poses.at[graph.prior_keys].set(
-        jnp.where(gauge[:, None], graph.prior_meas, poses[graph.prior_keys]))
+    # Non-gauge slots write out of bounds (dropped): padding prior slots
+    # share key 0 and a plain duplicate-index scatter could clobber the
+    # snap with the stale pose (scatter order is unspecified).
+    snap_idx = jnp.where(gauge, graph.prior_keys, poses.shape[0])
+    poses = poses.at[snap_idx].set(graph.prior_meas, mode='drop')
 
     e0 = graph_error(graph, poses)
 
@@ -384,7 +531,7 @@ def solve(graph: FactorGraphData, poses, pose_mask,
         lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
         b = -_gradient(lin)
         delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
-                             config.pcg_tolerance)
+                             config.pcg_tolerance, config.preconditioner)
         delta = delta * lin.free[:, None]
         new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
         new_poses = jnp.where(pose_mask[:, None], new_poses, poses)

@@ -199,3 +199,52 @@ def test_analytic_jacobians_match_ad(rng):
     rp2, Jp2 = sv._prior_linearize_analytic(Ta, measp)
     np.testing.assert_allclose(rp1, rp2, atol=1e-5)
     np.testing.assert_allclose(Jp1, Jp2, atol=1e-4)
+
+
+def test_tridiag_solve_matches_dense(rng):
+    """Cyclic reduction vs dense solve, including non-power-of-two N."""
+    N = 13
+    X = rng.normal(size=(N, 8, 6)).astype(np.float32)
+    D = np.einsum('nki,nkj->nij', X, X) + 3 * np.eye(6, dtype=np.float32)
+    A = rng.normal(size=(N, 6, 6)).astype(np.float32) * 0.3
+    A[0] = 0
+    T = np.zeros((N * 6, N * 6), np.float32)
+    for i in range(N):
+        T[i * 6:(i + 1) * 6, i * 6:(i + 1) * 6] = D[i]
+        if i > 0:
+            T[i * 6:(i + 1) * 6, (i - 1) * 6:i * 6] = A[i]
+            T[(i - 1) * 6:i * 6, i * 6:(i + 1) * 6] = A[i].T
+    r = rng.normal(size=(N, 6)).astype(np.float32)
+    x = np.asarray(sv._tridiag_solve(jnp.asarray(D), jnp.asarray(A),
+                                     jnp.asarray(r)))
+    x_dense = np.linalg.solve(T.astype(np.float64),
+                              r.reshape(-1).astype(np.float64)).reshape(N, 6)
+    np.testing.assert_allclose(x, x_dense, atol=1e-4)
+
+
+def test_tridiagonal_preconditioner_beats_jacobi_on_long_chain(rng):
+    """A loop closure across a 500-pose chain must be distributed within a
+    small PCG budget — block-Jacobi can't, the chain preconditioner can."""
+    N = 500
+    g = fg.HostGraph(rel_capacity=2048)
+    poses = np.zeros((512, 7), np.float32)
+    poses[:, 0] = 1
+    poses[:N, 4] = np.arange(N)
+    g.add_prior(0, poses[0], PRIOR_SIG)
+    step = np.array([1, 0, 0, 0, 1, 0, 0], np.float32)
+    for i in range(N - 1):
+        g.add_relative(i, i + 1, step, SIG)
+    # Contradicting closure, 100x stiffer: the end pose must move ~-1 m.
+    g.add_relative(0, N - 1, np.array([1, 0, 0, 0, N - 2.0, 0, 0],
+                                      np.float32), SIG * 0.1)
+    mask = np.zeros(512, bool)
+    mask[:N] = True
+    errs = {}
+    for pre in ('jacobi', 'tridiagonal'):
+        cfg = SolverConfig(gn_iterations=2, pcg_iterations=16,
+                           preconditioner=pre)
+        res = sv.solve(g.to_device(), jnp.asarray(poses), jnp.asarray(mask),
+                       cfg)
+        errs[pre] = float(res.error_final)
+    assert errs['tridiagonal'] < errs['jacobi'] * 0.5, errs
+    assert errs['tridiagonal'] < 15.0, errs

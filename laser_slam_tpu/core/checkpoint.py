@@ -185,7 +185,16 @@ def load_checkpoint(path: str, config: Config,
                     key=int(z[p + 'scan_keys'][k]),
                     normals=jnp.asarray(nrm[k])))
             # Rebuild the device scan ring from the most recent scans.
+            # The checkpoint's scan capacity wins over the config's (a
+            # mismatched config would otherwise break the ring shapes —
+            # full RESUMING still requires the original config).
             K = track._ring_points.shape[0]
+            n_ckpt = pts.shape[1]
+            if n_ckpt != track._ring_points.shape[1]:
+                track._ring_points = jnp.full((K, n_ckpt, 3), pc.SENTINEL,
+                                              jnp.float32)
+                track._ring_mask = jnp.zeros((K, n_ckpt), bool)
+                track._ring_normals = jnp.zeros((K, n_ckpt, 3), jnp.float32)
             for s in track.scans[-K:]:
                 track._push_ring(s)
             track._ring_times = z[p + 'ring_times'].copy()

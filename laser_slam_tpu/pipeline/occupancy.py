@@ -164,8 +164,11 @@ def _insert(log_odds, cell_coords, touched, points, pose7, resolution,
     upd = upd.at[h_hit].add(jnp.where(valid, l_hit, 0.0))
     log_odds = jnp.clip(log_odds + upd, -10.0, 10.0)
 
-    cell_coords = cell_coords.at[h_hit].set(
-        jnp.where(valid[:, None], end_cell, cell_coords[h_hit]))
+    # Invalid rows write out of bounds (dropped) — writing the old value
+    # back could clobber a valid point's write to the same bucket (scatter
+    # order is unspecified).
+    cell_coords = cell_coords.at[
+        jnp.where(valid, h_hit, n_cells)].set(end_cell, mode='drop')
     touched = touched.at[h_hit].max(valid)
     return log_odds, cell_coords, touched
 

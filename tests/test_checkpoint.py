@@ -100,3 +100,29 @@ def test_csvio_roundtrip(tmp_path, rng):
     assert csvio.load_csv(path2) == rows
     tv = csvio.time_value_map_to_matrix({10: 1.5, 5: 0.5})
     np.testing.assert_allclose(tv, [[5, 0.5], [10, 1.5]])
+
+
+def test_laser_to_map_tool(tmp_path, rng):
+    """checkpoint -> occupancy map via the CLI tool (laser_to_octomap
+    equivalent)."""
+    import subprocess
+    import sys as _sys
+    cfg = make_config()
+    est = IncrementalEstimator(cfg.estimator, 1)
+    worker = LaserSlamWorker(cfg.worker, est, 0)
+    run(worker, list(replay.SyntheticStream(
+        n_scans=3, points_per_scan=512, trajectory='line', step_m=0.6,
+        seed=13)))
+    state = os.path.join(tmp_path, 'state.npz')
+    ckpt.save_checkpoint(state, est, [worker])
+    out = os.path.join(tmp_path, 'map.xyz')
+    import os as _os
+    env = dict(_os.environ, PYTHONPATH='/root/repo:' +
+               _os.environ.get('PYTHONPATH', ''),
+               JAX_PLATFORMS='cpu')
+    res = subprocess.run(
+        [_sys.executable, '/root/repo/tools/laser_to_map.py', state, out,
+         'resolution', '0.25', 'sensor_max_range', '30'],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert res.returncode == 0, res.stderr[-500:]
+    assert _os.path.getsize(out) > 0

@@ -27,6 +27,35 @@ from laser_slam_tpu.config import BenchmarkerConfig
 logger = logging.getLogger('laser_slam_tpu.benchmarker')
 
 
+class Clock:
+    """Wall + CPU time helper, mirroring the reference ``Clock``
+    (common.hpp:23-63).  When timing device work, callers must
+    ``jax.block_until_ready`` first (dispatch is async)."""
+
+    def __init__(self):
+        self.start()
+
+    def start(self):
+        self._real0 = time.perf_counter()
+        self._cpu0 = time.process_time()
+        self._real_ms = 0.0
+        self._cpu_ms = 0.0
+
+    def take_time(self):
+        self._real_ms = (time.perf_counter() - self._real0) * 1e3
+        self._cpu_ms = (time.process_time() - self._cpu0) * 1e3
+
+    def get_real_time(self) -> float:
+        return self._real_ms
+
+    def get_cpu_time(self) -> float:
+        return self._cpu_ms
+
+    def take_real_time(self) -> float:
+        self.take_time()
+        return self._real_ms
+
+
 @dataclass
 class _ValueTopic:
     """Streaming statistics for one topic (benchmarker.hpp:130-157)."""

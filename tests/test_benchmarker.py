@@ -60,3 +60,14 @@ def test_reset_topic_prefix():
     b.reset_topic('a/')
     stats = b.statistics()
     assert 'a/x' not in stats and 'b/y' in stats
+
+
+def test_clock():
+    import time as _time
+    from laser_slam_tpu.core.benchmarker import Clock
+    c = Clock()
+    _time.sleep(0.01)
+    c.take_time()
+    assert c.get_real_time() >= 9.0
+    assert c.get_cpu_time() >= 0.0
+    assert c.take_real_time() >= c.get_real_time() - 1e-6

@@ -19,7 +19,7 @@ src/incremental_estimator.cpp) with the same responsibilities:
 from __future__ import annotations
 
 import time as _time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ import numpy as np
 
 from laser_slam_tpu.config import EstimatorConfig
 from laser_slam_tpu.core import benchmarker as bench
-from laser_slam_tpu.core.laser_track import LaserTrack, _assemble_submap
+from laser_slam_tpu.core.laser_track import LaserTrack
 from laser_slam_tpu.core.types import OptimizationResult, RelativePose, Time
 from laser_slam_tpu.graph import factors as fg
 from laser_slam_tpu.graph import solver as sv

@@ -23,7 +23,7 @@ function transforms the ring into the submap frame and runs the whole ICP
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ the solver.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ arrays ([qw,qx,qy,qz,tx,ty,tz], see ops.se3).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -19,17 +19,14 @@ device mesh.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from laser_slam_tpu.config import IcpConfig, SolverConfig
 from laser_slam_tpu.parallel import fleet as fleet_mod
-from laser_slam_tpu.ops import se3
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,

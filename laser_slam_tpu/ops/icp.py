@@ -18,7 +18,7 @@ laser_slam/configurations/icp_default.yaml and invoked via
 Semantics preserved: on failure (too few correspondences) the initial
 guess is returned, mirroring the reference's catch of
 ``PointMatcher::ConvergenceError`` (laser_track.cpp:495-502) — except here
-failure is a value (``IcpResult.converged_mask``), not an exception, so the
+failure is a value (``IcpResult.valid``), not an exception, so the
 op stays pure and vmappable.
 """
 
@@ -123,8 +123,11 @@ def icp_point_to_plane(
 
     Mirrors ``icp_.compute(reading, reference, T0)`` (laser_track.cpp:496).
     ``ref_normals`` are per-reference-point unit normals in the reference
-    frame (precompute with :func:`cloud.estimate_normals`).  When ``grid``
-    is provided the voxel-hash matcher is used, otherwise exact brute NN.
+    frame (precompute with :func:`cloud.estimate_normals`).  The matcher
+    comes from ``config.matcher``; ``grid`` supplies a prebuilt voxel hash
+    for the 'grid' matcher and ``prebuilt_image`` a prebuilt
+    :class:`range_image.RangeImage` for 'projective' (hoist it when many
+    readings register against one shared reference).
     """
     if config.matcher not in ('brute', 'pallas', 'grid', 'projective'):
         raise ValueError(f'unknown ICP matcher {config.matcher!r}; expected '

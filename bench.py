@@ -320,6 +320,29 @@ def main():
     extras['tpu_e2e_scans_per_sec'] = round(
         (len(frames) - 8) / (time.perf_counter() - t0), 2)
 
+    # Fast-ingest variant: PCA-over-range-image-window normals instead of
+    # kNN PCA (~3x end-to-end; slightly noisier normals).
+    lt_f = e2e_cfg.laser_track
+    fast_cfg = e2e_cfg.__class__(**{
+        **e2e_cfg.__dict__,
+        'laser_track': lt_f.__class__(**{
+            **lt_f.__dict__,
+            'icp': IcpConfig(matcher='projective', reading_capacity=8192,
+                             reading_sampling_ratio=0.5,
+                             normal_method='image_pca',
+                             normal_image_rows=32, normal_image_cols=512)})})
+    runner_f = online.OnlineRunner(fast_cfg, pose_capacity=2048,
+                                   factor_capacity=8192)
+    for f in frames[:8]:
+        runner_f.process_scan(f.time_ns, f.points, f.odom_pose7)
+    jax.block_until_ready(runner_f.state.traj_poses)
+    t0 = time.perf_counter()
+    for f in frames[8:]:
+        runner_f.process_scan(f.time_ns, f.points, f.odom_pose7)
+    jax.block_until_ready(runner_f.state.traj_poses)
+    extras['tpu_e2e_fast_scans_per_sec'] = round(
+        (len(frames) - 8) / (time.perf_counter() - t0), 2)
+
     # Fleet mode (BASELINE config 5): 256 parallel trajectories on one chip.
     from laser_slam_tpu.parallel import fleet as fleet_mod
     from laser_slam_tpu.ops import se3 as se3_mod

@@ -46,9 +46,16 @@ class IcpConfig:
     reading_capacity: int = 8192          # reading points after sampling
     normal_knn: int = 10
     # 'knn' = PCA of the k nearest neighbors (SamplingSurfaceNormal
-    # parity, O(N^2) tiled); 'range_image' = O(N) cross-product of
-    # range-image tangents (the LiDAR fast path).
+    # parity, O(N^2) tiled top_k — the dominant ingest cost for big
+    # scans); 'image_pca' = PCA over the 3x3 range-image neighborhood
+    # (one wide gather, ~3x faster end-to-end, near-kNN quality);
+    # 'range_image' = O(N) cross-product of image tangents (fastest,
+    # noisier).
     normal_method: str = 'knn'
+    # Image size for normal estimation (should roughly match scan
+    # density; independent of the matcher's range image).
+    normal_image_rows: int = 32
+    normal_image_cols: int = 512
     max_iterations: int = 40
     trimmed_dist_ratio: float = 0.75
     # 'sort' = exact trim quantile (libpointmatcher parity);

@@ -149,8 +149,15 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     if lt.icp.normal_method == 'range_image':
         from laser_slam_tpu.ops import range_image as ri
         normals = ri.range_image_normals(
-            scan, rows=lt.icp.range_image_rows,
-            cols=lt.icp.range_image_cols,
+            scan, rows=lt.icp.normal_image_rows,
+            cols=lt.icp.normal_image_cols,
+            elev_min=lt.icp.range_image_elev_min,
+            elev_max=lt.icp.range_image_elev_max)
+    elif lt.icp.normal_method == 'image_pca':
+        from laser_slam_tpu.ops import range_image as ri
+        normals = ri.range_image_pca_normals(
+            scan, rows=lt.icp.normal_image_rows,
+            cols=lt.icp.normal_image_cols,
             elev_min=lt.icp.range_image_elev_min,
             elev_max=lt.icp.range_image_elev_max)
     else:

@@ -82,3 +82,32 @@ def test_projective_parity_with_brute(rng):
     d = np.linalg.norm(np.asarray(se3.translation(res_p.T) -
                                   se3.translation(res_b.T)))
     assert d < 5e-3, d
+
+
+def test_image_pca_normals_plane(rng):
+    """PCA-over-window normals recover plane normals like kNN PCA."""
+    xy = rng.uniform(-5, 5, size=(1024, 2))
+    pts = np.concatenate([xy, np.zeros((1024, 1))], axis=1).astype(
+        np.float32)
+    pts[:, 2] -= 1.0  # sensor above the plane
+    c = pc.make_cloud(pts, capacity=1024)
+    normals = ri.range_image_pca_normals(c, rows=16, cols=128,
+                                         elev_min=-1.2, elev_max=0.2)
+    nz = np.abs(np.asarray(normals)[:, 2])
+    assert np.mean(nz > 0.98) > 0.85, np.mean(nz > 0.98)
+
+
+def test_icp_with_image_pca_normals(rng):
+    pts = lidar_scene(rng, n=4096)
+    ref = pc.make_cloud(pts, capacity=4096)
+    normals = ri.range_image_pca_normals(ref, rows=32, cols=512,
+                                         elev_min=-0.3, elev_max=0.3)
+    T_true = se3.exp(jnp.asarray([0.01, -0.01, 0.02, 0.2, -0.1, 0.05],
+                                 jnp.float32))
+    reading = pc.transform(se3.inverse(T_true), ref)
+    cfg = IcpConfig(matcher='brute')
+    res = icp_mod.icp(reading, ref, normals, se3.identity(), cfg)
+    assert bool(res.valid)
+    err_t = np.linalg.norm(np.asarray(
+        se3.translation(res.T) - se3.translation(T_true)))
+    assert err_t < 0.03, err_t

@@ -345,7 +345,28 @@ class LaserTrack:
             key_b=self.trajectory.key_at(last.time_ns),
             track_id_a=self.track_id, track_id_b=self.track_id)
         self.icp_transformations.append(icp_rel)
+
+        if self.config.save_icp_results:
+            self._save_icp_debug(last, guess, result.T)
         return icp_rel
+
+    def _save_icp_debug(self, last_scan, guess, solution):
+        """Debug dumps of the ICP inputs/outputs as .xyz clouds
+        (save_icp_results, laser_track.cpp:504-513 — the reference writes
+        VTK; here plain xyz, loadable by any cloud viewer)."""
+        import os
+        out = '/tmp/laser_slam_tpu_icp'
+        os.makedirs(out, exist_ok=True)
+
+        def dump(name, cloud):
+            pts = np.asarray(cloud.points)[np.asarray(cloud.mask)]
+            np.savetxt(os.path.join(out, name), pts, fmt='%.4f')
+
+        dump('last_scan.xyz', last_scan.cloud)
+        dump('last_scan_aligned_by_initial_guess.xyz',
+             pc.transform(guess, last_scan.cloud))
+        dump('last_scan_aligned_by_solution.xyz',
+             pc.transform(solution, last_scan.cloud))
 
     # ------------------------------------------------------------------
     # Submaps for loop closures (laser_track.cpp:602-651)

@@ -184,3 +184,19 @@ def test_covariances(rng):
     assert covs.shape == (3, 6, 6)
     # Later poses less certain than the anchored first.
     assert np.trace(covs[2]) > np.trace(covs[0])
+
+
+def test_save_icp_results_debug_dumps(rng, tmp_path, monkeypatch):
+    """save_icp_results dumps ICP debug clouds (laser_track.cpp:504-513)."""
+    import os
+    cfg = small_config(use_icp=True)
+    lt = cfg.laser_track
+    cfg = cfg.__class__(**{**cfg.__dict__,
+                           'laser_track': lt.__class__(
+                               **{**lt.__dict__, 'save_icp_results': True})})
+    est = IncrementalEstimator(cfg, 1)
+    run_sequence(est, make_world(rng), rng, n_scans=2)
+    out = '/tmp/laser_slam_tpu_icp'
+    assert os.path.exists(os.path.join(out, 'last_scan.xyz'))
+    assert os.path.exists(os.path.join(
+        out, 'last_scan_aligned_by_solution.xyz'))

@@ -22,9 +22,16 @@ import time
 import numpy as np
 
 # Persistent XLA compilation cache: first-compile over the remote tunnel is
-# minutes per shape; must be set before jax import.
+# minutes per shape.  The axon sitecustomize imports jax at interpreter
+# startup, so env vars are too late — configure via the config API below.
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_tpu_cache')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
+
+
+def _enable_compile_cache():
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ['JAX_COMPILATION_CACHE_DIR'])
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 
 def make_scene(rng, n_world=200_000, extent=80.0):
@@ -166,6 +173,7 @@ def main():
     extras['cpu_mean_iters'] = round(cpu_iters, 1)
 
     import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
     import laser_slam_tpu  # noqa: F401
     from laser_slam_tpu.config import IcpConfig, SolverConfig

@@ -88,13 +88,18 @@ class LaserTrackConfig:
     """Per-track front-end parameters.
 
     Mirrors ``LaserTrackParams`` (parameters.hpp:8-23).  Noise sigmas are
-    6-vectors ordered [rot(3) rad, trans(3) m] as in
-    config_example.yaml:4-6.
+    6-vectors ordered [rot(3) rad, trans(3) m] — NOTE this is the
+    *reverse* of the reference's convention: minkindr's
+    ``QuatTransformation::log`` puts translation in ``head<3>`` and
+    rotation in ``tail<3>``, so config_example.yaml:4-6's
+    ``[0.005 x3, 0.0015 x3]`` means 5 mm translation / 1.5 mrad rotation.
+    The defaults below are those same physical values re-ordered for this
+    repo's rot-first tangent convention.
     """
-    odometry_noise_model: Tuple[float, ...] = (0.005, 0.005, 0.005,
-                                               0.0015, 0.0015, 0.0015)
-    icp_noise_model: Tuple[float, ...] = (0.005, 0.005, 0.005,
-                                          0.0015, 0.0015, 0.0015)
+    odometry_noise_model: Tuple[float, ...] = (0.0015, 0.0015, 0.0015,
+                                               0.005, 0.005, 0.005)
+    icp_noise_model: Tuple[float, ...] = (0.0015, 0.0015, 0.0015,
+                                          0.005, 0.005, 0.005)
     add_m_estimator_on_odom: bool = False
     add_m_estimator_on_icp: bool = True
     use_icp_factors: bool = True
@@ -142,16 +147,19 @@ class EstimatorConfig:
     """Global back-end parameters.
 
     Mirrors ``EstimatorParams`` (parameters.hpp:25-34) plus the iSAM2
-    replacement solver config.
+    replacement solver config.  Sigma 6-vectors are [rot(3), trans(3)] —
+    the reference's values are translation-first (minkindr log ordering,
+    see LaserTrackConfig) and are re-ordered here.
     """
-    loop_closure_noise_model: Tuple[float, ...] = (0.005, 0.005, 0.005,
-                                                   0.0015, 0.0015, 0.0015)
+    loop_closure_noise_model: Tuple[float, ...] = (0.0015, 0.0015, 0.0015,
+                                                   0.005, 0.005, 0.005)
     add_m_estimator_on_loop_closures: bool = True
     do_icp_step_on_loop_closures: bool = True
     loop_closures_sub_maps_radius: int = 3
-    # First-association noise sigmas (incremental_estimator.cpp:40-48).
-    first_association_noise_model: Tuple[float, ...] = (0.05, 0.05, 0.05,
-                                                        0.015, 0.015, 0.015)
+    # First-association sigmas (incremental_estimator.cpp:40-48): the
+    # reference sets [0.05 x3 trans, 0.015 x3 rot]; rot-first here.
+    first_association_noise_model: Tuple[float, ...] = (0.015, 0.015, 0.015,
+                                                        0.05, 0.05, 0.05)
     # Prior sigma on the first node of each track (laser_track.cpp:56-64).
     prior_noise_sigma: float = 1e-7
     laser_track: LaserTrackConfig = field(default_factory=LaserTrackConfig)

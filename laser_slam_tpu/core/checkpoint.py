@@ -21,24 +21,32 @@ from laser_slam_tpu.core.estimator import IncrementalEstimator
 from laser_slam_tpu.core.types import LaserScan, Pose, RelativePose
 from laser_slam_tpu.ops import cloud as pc
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
-def _relposes_to_array(rels: Sequence[RelativePose]) -> np.ndarray:
-    out = np.zeros((len(rels), 13), np.float64)
+def _relposes_to_arrays(rels: Sequence[RelativePose]):
+    """Split pose (float32 [N,7]) from times/keys (int64 [N,6]).
+
+    Times are epoch nanoseconds and exceed float64's 2**53 integer range;
+    storing them in a float array would round them and break the exact
+    time-key lookups (trajectory.key_at, _pose_measurement_at) on resume.
+    """
+    poses = np.zeros((len(rels), 7), np.float32)
+    meta = np.zeros((len(rels), 6), np.int64)
     for i, r in enumerate(rels):
-        out[i, :7] = r.T_a_b
-        out[i, 7:13] = (r.time_a_ns, r.time_b_ns, r.key_a, r.key_b,
-                        r.track_id_a, r.track_id_b)
-    return out
+        poses[i] = r.T_a_b
+        meta[i] = (r.time_a_ns, r.time_b_ns, r.key_a, r.key_b,
+                   r.track_id_a, r.track_id_b)
+    return poses, meta
 
 
-def _relposes_from_array(arr: np.ndarray) -> List[RelativePose]:
-    return [RelativePose(T_a_b=row[:7].astype(np.float32),
-                         time_a_ns=int(row[7]), time_b_ns=int(row[8]),
-                         key_a=int(row[9]), key_b=int(row[10]),
-                         track_id_a=int(row[11]), track_id_b=int(row[12]))
-            for row in arr]
+def _relposes_from_arrays(poses: np.ndarray,
+                          meta: np.ndarray) -> List[RelativePose]:
+    return [RelativePose(T_a_b=p.astype(np.float32),
+                         time_a_ns=int(m[0]), time_b_ns=int(m[1]),
+                         key_a=int(m[2]), key_b=int(m[3]),
+                         track_id_a=int(m[4]), track_id_b=int(m[5]))
+            for p, m in zip(poses, meta)]
 
 
 def save_checkpoint(path: str, estimator: IncrementalEstimator,
@@ -81,9 +89,12 @@ def save_checkpoint(path: str, estimator: IncrementalEstimator,
         data[p + 'pose_meas'] = (np.stack(track.pose_measurements)
                                  if track.pose_measurements
                                  else np.zeros((0, 7), np.float32))
-        data[p + 'odom'] = _relposes_to_array(track.odometry_measurements)
-        data[p + 'icp'] = _relposes_to_array(track.icp_transformations)
-        data[p + 'lc'] = _relposes_to_array(track.loop_closures)
+        for name, rels in (('odom', track.odometry_measurements),
+                           ('icp', track.icp_transformations),
+                           ('lc', track.loop_closures)):
+            rp, rm = _relposes_to_arrays(rels)
+            data[p + name] = rp
+            data[p + name + '_meta'] = rm
         data[p + 'ring_times'] = track._ring_times
         if include_scans:
             data[p + 'scan_times'] = np.asarray(
@@ -170,9 +181,12 @@ def load_checkpoint(path: str, config: Config,
         track.pose_measurement_times = [int(t) for t in
                                         z[p + 'pose_meas_times']]
         track.pose_measurements = [row for row in z[p + 'pose_meas']]
-        track.odometry_measurements = _relposes_from_array(z[p + 'odom'])
-        track.icp_transformations = _relposes_from_array(z[p + 'icp'])
-        track.loop_closures = _relposes_from_array(z[p + 'lc'])
+        track.odometry_measurements = _relposes_from_arrays(
+            z[p + 'odom'], z[p + 'odom_meta'])
+        track.icp_transformations = _relposes_from_arrays(
+            z[p + 'icp'], z[p + 'icp_meta'])
+        track.loop_closures = _relposes_from_arrays(
+            z[p + 'lc'], z[p + 'lc_meta'])
         track._ring_times = z[p + 'ring_times'].copy()
         if p + 'scan_points' in z:
             pts = z[p + 'scan_points']

@@ -130,7 +130,10 @@ class LaserTrack:
         self.covariances: List[np.ndarray] = []
         self._rng = np.random.default_rng(1234 + track_id)
 
-        K = config.nscan_in_sub_map - 1
+        # The reference's submap is the second-last scan PLUS up to
+        # nscan_in_sub_map-1 scans before it (laser_track.cpp:476-486) —
+        # nscan_in_sub_map scans total, so the ring holds that many.
+        K = config.nscan_in_sub_map
         N = config.input_filters.scan_capacity
         # Ring of the last K scans feeding the submap (device arrays).
         self._ring_points = jnp.full((max(K, 1), N, 3), pc.SENTINEL,

@@ -180,9 +180,9 @@ def so3_log(q) -> jax.Array:
     sin_half = jnp.sqrt(jnp.where(small, 1.0, sin2))
     cos_half = q[..., :1]
     half = jnp.arctan2(jnp.where(small, 0.0, sin_half), cos_half)
-    # theta / sin(theta/2) -> 2 + theta^2/12 for small theta
-    # For small angles sin2 ~ (theta/2)^2, so scale ~ 2 + (2/3)(theta/2)^2.
-    scale = jnp.where(small, 2.0 + 2.0 * sin2 / 3.0,
+    # scale = theta / sin(theta/2); with u = theta/2 and sin2 = sin^2(u),
+    # 2u/sin(u) = 2/(1 - u^2/6 + ...) ~ 2 + u^2/3 ~ 2 + sin2/3.
+    scale = jnp.where(small, 2.0 + sin2 / 3.0,
                       2.0 * half / sin_half)
     return scale * qv
 

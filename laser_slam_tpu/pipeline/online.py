@@ -81,7 +81,9 @@ def init_state(config: EstimatorConfig, pose_capacity: int = 4096,
                factor_capacity: int = 8192, prior_capacity: int = 8,
                seed: int = 0, n_tracks: int = 1) -> OnlineState:
     lt = config.laser_track
-    K = max(lt.nscan_in_sub_map - 1, 1)
+    # Submap = second-last scan + nscan_in_sub_map-1 earlier scans
+    # (laser_track.cpp:476-486) -> the ring holds nscan_in_sub_map scans.
+    K = max(lt.nscan_in_sub_map, 1)
     N = lt.input_filters.scan_capacity
     T = n_tracks
 
@@ -113,6 +115,44 @@ def init_state(config: EstimatorConfig, pose_capacity: int = 4096,
         last_icp_inliers=jnp.int32(0),
         last_error=jnp.float32(0.0),
     )
+
+
+def _pad_rows(a: jax.Array, n_new: int) -> jax.Array:
+    pad = [(0, n_new - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad)
+
+
+def _pad_pose_rows(a: jax.Array, n_new: int) -> jax.Array:
+    extra = jnp.zeros((n_new - a.shape[0], 7), a.dtype).at[:, 0].set(1.0)
+    return jnp.concatenate([a, extra], axis=0)
+
+
+def grow_state(state: OnlineState, pose_capacity: Optional[int] = None,
+               factor_capacity: Optional[int] = None,
+               prior_capacity: Optional[int] = None) -> OnlineState:
+    """Re-bucket the device state to larger capacities.
+
+    Out-of-bounds ``.at[]`` scatters are silently dropped under jit
+    (promise_in_bounds), so exceeding a capacity would corrupt state
+    without error; the host driver grows the buffers FIRST.  Growth
+    doubles (power-of-two bucketing, CLAUDE.md invariant) and costs one
+    recompile of ``online_step`` at the new shapes.
+    """
+    P = pose_capacity or state.traj_poses.shape[0]
+    F = factor_capacity or state.rel_meas.shape[0]
+    R = prior_capacity or state.prior_meas.shape[0]
+    return state._replace(
+        traj_poses=_pad_pose_rows(state.traj_poses, P),
+        pose_meas=_pad_pose_rows(state.pose_meas, P),
+        rel_meas=_pad_pose_rows(state.rel_meas, F),
+        rel_keys=_pad_rows(state.rel_keys, F),
+        rel_sqrt_info=_pad_rows(state.rel_sqrt_info, F),
+        rel_robust=_pad_rows(state.rel_robust, F),
+        rel_weight=_pad_rows(state.rel_weight, F),
+        prior_meas=_pad_pose_rows(state.prior_meas, R),
+        prior_keys=_pad_rows(state.prior_keys, R),
+        prior_sqrt_info=_pad_rows(state.prior_sqrt_info, R),
+        prior_weight=_pad_rows(state.prior_weight, R))
 
 
 def _graph_view(state: OnlineState) -> FactorGraphData:
@@ -392,6 +432,31 @@ class OnlineRunner:
         self._prior_slot_of_track: dict = {}
         self._n_priors_seen = 0
         self._tracks_seen: set = set()
+        # Host mirror of the device factor counter (2 per normal scan,
+        # 1 per loop closure) for capacity guarding.
+        self._n_rel_host = 0
+
+    def _ensure_capacity(self, new_poses: int = 0, new_rels: int = 0,
+                         new_priors: int = 0) -> None:
+        """Grow device buffers before an append would overflow them.
+
+        Silent truncation is the alternative (JAX drops out-of-bounds
+        scatters), so this MUST run before every state-mutating step.
+        """
+        P = self.state.traj_poses.shape[0]
+        F = self.state.rel_meas.shape[0]
+        R = self.state.prior_meas.shape[0]
+        n_poses = len(self.key_info)
+        kw = {}
+        if n_poses + new_poses > P:
+            kw['pose_capacity'] = max(P * 2, n_poses + new_poses)
+        if self._n_rel_host + new_rels > F:
+            kw['factor_capacity'] = max(F * 2, self._n_rel_host + new_rels)
+        if self._n_priors_seen + new_priors > R:
+            kw['prior_capacity'] = max(R * 2,
+                                       self._n_priors_seen + new_priors)
+        if kw:
+            self.state = grow_state(self.state, **kw)
 
     def process_scan(self, time_ns: int, points: np.ndarray,
                      odom_pose7: np.ndarray, track_id: int = 0) -> bool:
@@ -404,6 +469,11 @@ class OnlineRunner:
 
         first_scan_of_track = track_id not in self._tracks_seen
         self._tracks_seen.add(track_id)
+        self._ensure_capacity(new_poses=1,
+                              new_rels=0 if first_scan_of_track else 2,
+                              new_priors=1 if first_scan_of_track else 0)
+        if not first_scan_of_track:
+            self._n_rel_host += 2
         pts = np.asarray(points, np.float32)
         n = min(len(pts), self.scan_cap)
         padded = np.full((self.scan_cap, 3), pc.SENTINEL, np.float32)
@@ -427,6 +497,8 @@ class OnlineRunner:
         that link two previously unlinked groups remove the absorbed
         group's prior and use the first-association noise model
         (estimateAndRemove semantics)."""
+        self._ensure_capacity(new_rels=1)
+        self._n_rel_host += 1
         track_a = self.key_info[key_a][0]
         track_b = self.key_info[key_b][0]
         remove_slot = -1

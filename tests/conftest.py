@@ -8,10 +8,6 @@ the CPU backend and fall back to interpret mode / pure-JAX implementations.
 import os
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
-# Persistent compilation cache: XLA compiles are the dominant test cost on
-# the single-core CPU host; cache them across runs.
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_test_cache')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
@@ -19,9 +15,15 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
-# The axon TPU plugin ignores JAX_PLATFORMS from the environment; force the
-# CPU platform through the config API (verified effective).
+# The axon sitecustomize imports jax at interpreter startup, so env vars
+# written here land AFTER jax's config already sampled the environment —
+# JAX_PLATFORMS and JAX_COMPILATION_CACHE_DIR set via os.environ are
+# silently ignored.  Everything must go through the config API.
 jax.config.update('jax_platforms', 'cpu')
+# Persistent compilation cache: XLA compiles are the dominant test cost on
+# the single-core CPU host; cache them across runs.
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -126,3 +126,24 @@ def test_laser_to_map_tool(tmp_path, rng):
         capture_output=True, text=True, env=env, timeout=300)
     assert res.returncode == 0, res.stderr[-500:]
     assert _os.path.getsize(out) > 0
+
+
+def test_relpose_epoch_ns_times_roundtrip(tmp_path):
+    """Absolute epoch-ns timestamps exceed float64's 2**53 integer range;
+    they must survive save/load EXACTLY or exact-time lookups break."""
+    from laser_slam_tpu.core.checkpoint import (_relposes_from_arrays,
+                                                _relposes_to_arrays)
+    from laser_slam_tpu.core.types import RelativePose
+    t_a = 1_755_350_000_123_456_789   # epoch ns, > 2**53
+    t_b = t_a + 100_000_003
+    rel = RelativePose(
+        T_a_b=np.array([1, 0, 0, 0, 0.1, 0.2, 0.3], np.float32),
+        time_a_ns=t_a, time_b_ns=t_b, key_a=4, key_b=5,
+        track_id_a=0, track_id_b=1)
+    poses, meta = _relposes_to_arrays([rel])
+    (back,) = _relposes_from_arrays(poses, meta)
+    assert back.time_a_ns == t_a
+    assert back.time_b_ns == t_b
+    assert (back.key_a, back.key_b) == (4, 5)
+    assert (back.track_id_a, back.track_id_b) == (0, 1)
+    np.testing.assert_allclose(back.T_a_b, rel.T_a_b)

@@ -240,3 +240,27 @@ def test_matcher_trajectory_divergence_rate(rng):
     # matchers resolve differently; real Velodyne density gives tighter
     # parity (per-registration agreement < 5 mm, test_range_image.py).
     assert rate < 0.015, (rate, divergence)
+
+
+def test_online_runner_grows_past_capacity(rng):
+    """Exceeding the initial pose/factor capacities must re-bucket the
+    device state, not silently drop scatters (JAX promise_in_bounds)."""
+    cfg = make_config()
+    runner = online.OnlineRunner(cfg, pose_capacity=4, factor_capacity=4)
+    frames = list(replay.SyntheticStream(
+        n_scans=7, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, odom_noise=0.005, seed=27))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    assert runner.state.traj_poses.shape[0] >= 7
+    assert int(runner.state.n_poses) == 7
+    assert int(runner.state.n_rel) == 12  # 2 per scan after the first
+    traj = runner.trajectory()
+    errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
+            for f in frames]
+    assert max(errs) < 0.1, errs
+    # Loop closures also guard/grow.
+    for _ in range(5):
+        runner.add_loop_closure(0, 6, np.asarray(
+            [1, 0, 0, 0, 0, 0, 0], np.float32))
+    assert int(runner.state.n_rel) == 17

@@ -57,6 +57,19 @@ class IcpConfig:
     normal_image_rows: int = 32
     normal_image_cols: int = 512
     max_iterations: int = 40
+    # Gauss-Newton steps per correspondence search (>=1).  The serial
+    # per-iteration association gather is the ICP hot loop's dominant
+    # cost on TPU (~90 Mrows/s random-row gather); re-using the matched
+    # (q, n) pairs for a second GN step halves the gathers at equal
+    # step count (fixed-correspondence inner iterations, standard ICP
+    # practice).  1 = libpointmatcher parity (one match per step).
+    gn_steps_per_match: int = 1
+    # Coarse-to-fine: when >0 and < reading_capacity, first converge on
+    # a strided subset of this many reading points (gather rows scale
+    # with the query count), then refine on the full reading from the
+    # coarse solution.  0 disables (parity default).
+    coarse_capacity: int = 0
+    coarse_max_iterations: int = 20
     trimmed_dist_ratio: float = 0.75
     # 'sort' = exact trim quantile (libpointmatcher parity);
     # 'histogram' = O(N) approximate quantile (~5x cheaper per iteration).

@@ -157,9 +157,9 @@ def icp_point_to_plane(
                 elev_max=config.range_image_elev_max,
                 window=config.range_image_window)
 
-        def match_payload(p_world):
+        def match_payload(p_world, msk):
             q, n, d2 = ri.nn_projective(p_world, image)
-            return q, n, d2, reading.mask
+            return q, n, d2, msk
     elif config.matcher == 'pallas' and grid is None:
         from laser_slam_tpu.ops import pallas_nn
         # Payload = [point, normal]; parked reference points carry huge
@@ -167,62 +167,100 @@ def icp_point_to_plane(
         payload = jnp.concatenate([reference.points, ref_normals], axis=1)
         interpret = not pallas_nn.on_tpu()
 
-        def match_payload(p_world):
+        def match_payload(p_world, msk):
             d2, pay = pallas_nn.nn_payload_pruned(
                 p_world, reference.points, payload, interpret=interpret)
-            return pay[:, :3], pay[:, 3:6], d2, reading.mask
+            return pay[:, :3], pay[:, 3:6], d2, msk
     else:
-        def match_payload(p_world):
+        def match_payload(p_world, msk):
             if grid is not None:
                 idx, d2 = nb.nn_grid(p_world, reference, grid)
             else:
                 idx, d2 = nb.nn_brute(p_world, reference.points)
             idx = jnp.clip(idx, 0, reference.capacity)
             return (ref_ext_pts[idx], ref_ext_normals[idx], d2,
-                    reading.mask & ref_ext_mask[idx])
+                    msk & ref_ext_mask[idx])
 
-    def cond(state):
-        T, it, hist, done, *_ = state
-        return (it < config.max_iterations) & ~done
+    S = max(int(config.gn_steps_per_match), 1)
 
-    def body(state):
-        T, it, hist, done, _, _ = state
-        p_world = se3.apply(T, reading.points)
-        q, n, d2, base_valid = match_payload(p_world)
-        valid = base_valid & (d2 <= max_corr2)
-        inlier = _trim_mask(d2, valid, config.trimmed_dist_ratio,
-                            method=config.trim_method, d2_max=max_corr2)
-        w = inlier.astype(p_world.dtype)
-        n_in = jnp.sum(inlier)
+    def run_loop(pts, msk, T0, max_iterations: int):
+        """Match/GN while-loop over a (possibly subset) reading."""
 
-        delta, r = _gauss_newton_step(p_world, q, n, w)
+        def cond(state):
+            T, it, hist, done, *_ = state
+            return (it < max_iterations) & ~done
 
-        enough = n_in >= MIN_INLIERS
-        # Freeze the transform if the solve failed this iteration.
-        delta = jnp.where(enough, delta, 0.0)
-        T_new = se3.normalize(se3.compose(se3.exp(delta), T))
+        def body(state):
+            T, it, hist, done, mean_err0, _ = state
+            p_world = se3.apply(T, pts)
+            q, n, d2, base_valid = match_payload(p_world, msk)
+            valid = base_valid & (d2 <= max_corr2)
+            inlier = _trim_mask(d2, valid, config.trimmed_dist_ratio,
+                                method=config.trim_method, d2_max=max_corr2)
+            w = inlier.astype(p_world.dtype)
+            n_in = jnp.sum(inlier)
+            enough = n_in >= MIN_INLIERS
 
-        # Differential checker window (icp_default.yaml:24-27): smoothed
-        # rotation/translation increments over the last `smooth` iterations.
-        d_rot = jnp.linalg.norm(delta[:3])
-        d_trans = jnp.linalg.norm(delta[3:])
-        hist = jnp.roll(hist, shift=-1, axis=0).at[-1].set(
-            jnp.stack([d_rot, d_trans]))
-        means = jnp.mean(hist, axis=0)
-        converged = ((it + 1 >= smooth) &
-                     (means[0] < config.min_diff_rot) &
-                     (means[1] < config.min_diff_trans))
-        mean_err = jnp.sum(jnp.abs(r) * w) / jnp.maximum(n_in, 1)
-        return (T_new, it + 1, hist, converged | ~enough, mean_err, n_in)
+            # S Gauss-Newton steps against the FIXED correspondences
+            # (q, n): the association gather is the dominant cost, the
+            # dense re-transform + 6x6 solve are cheap.  S=1 mirrors
+            # libpointmatcher (one match per step).
+            mean_err = mean_err0
+            it_exec = it
+            for _ in range(S):
+                p_w = se3.apply(T, pts)
+                delta, r = _gauss_newton_step(p_w, q, n, w)
+                step_on = enough & ~done & (it_exec < max_iterations)
+                delta = jnp.where(step_on, delta, 0.0)
+                T = se3.normalize(se3.compose(se3.exp(delta), T))
+                # Differential checker window (icp_default.yaml:24-27):
+                # smoothed rot/trans increments over the last `smooth`
+                # Gauss-Newton steps.
+                d_rot = jnp.linalg.norm(delta[:3])
+                d_trans = jnp.linalg.norm(delta[3:])
+                hist = jnp.where(
+                    step_on,
+                    jnp.roll(hist, shift=-1, axis=0).at[-1].set(
+                        jnp.stack([d_rot, d_trans])),
+                    hist)
+                means = jnp.mean(hist, axis=0)
+                converged = ((it_exec + 1 >= smooth) &
+                             (means[0] < config.min_diff_rot) &
+                             (means[1] < config.min_diff_trans))
+                mean_err = jnp.where(
+                    step_on,
+                    jnp.sum(jnp.abs(r) * w) / jnp.maximum(n_in, 1),
+                    mean_err)
+                it_exec = it_exec + step_on.astype(jnp.int32)
+                done = done | converged | ~enough
+            return (T, it_exec, hist, done, mean_err, n_in)
 
-    hist0 = jnp.full((smooth, 2), jnp.inf, jnp.float32)
-    state0 = (initial_guess, jnp.int32(0), hist0, jnp.bool_(False),
-              jnp.float32(jnp.inf), jnp.int32(0))
-    T, it, _, _, mean_err, n_in = jax.lax.while_loop(cond, body, state0)
+        hist0 = jnp.full((smooth, 2), jnp.inf, jnp.float32)
+        state0 = (T0, jnp.int32(0), hist0, jnp.bool_(False),
+                  jnp.float32(jnp.inf), jnp.int32(0))
+        return jax.lax.while_loop(cond, body, state0)
+
+    C = config.coarse_capacity
+    T_start = initial_guess
+    it_coarse = jnp.int32(0)
+    if C and C < reading.capacity:
+        # Coarse phase: converge on a strided subset (gather rows — the
+        # hot cost — scale with the query count), then refine full-res.
+        # Strided (not leading) so structured scans stay spatially spread.
+        stride = reading.capacity // C
+        pts_c = reading.points[::stride][:C]
+        msk_c = reading.mask[::stride][:C]
+        T_c, it_coarse, _, _, _, n_in_c = run_loop(
+            pts_c, msk_c, initial_guess, config.coarse_max_iterations)
+        # Fall back to the original guess if the coarse phase failed.
+        T_start = jnp.where(n_in_c >= MIN_INLIERS, T_c, initial_guess)
+
+    T, it, _, _, mean_err, n_in = run_loop(
+        reading.points, reading.mask, T_start, config.max_iterations)
 
     ok = n_in >= MIN_INLIERS
     T_final = jnp.where(ok, T, initial_guess)
-    return IcpResult(T=T_final, valid=ok, iterations=it,
+    return IcpResult(T=T_final, valid=ok, iterations=it + it_coarse,
                      mean_error=mean_err, num_inliers=n_in)
 
 

@@ -1,0 +1,162 @@
+"""North-star accuracy parity: <1 cm / <0.1 deg trajectory divergence.
+
+Replays the same 100-scan loop-closing sequence through (a) the float64
+reference-equivalent oracle (tests/oracle.py: cKDTree ICP with the exact
+icp_default.yaml pipeline + dense Gauss-Newton with the reference noise
+models and 3-update schedule, laser_track.cpp:466-519 +
+incremental_estimator.cpp:151-163) and (b) this framework's production
+device path (pipeline.online.OnlineRunner), then asserts the final
+trajectories agree within the BASELINE.json north-star clause:
+<1 cm translation and <0.1 degree rotation at every pose.
+
+Measured divergences are recorded in PARITY.md.
+"""
+
+import numpy as np
+import pytest
+
+from laser_slam_tpu.config import (EstimatorConfig, IcpConfig,
+                                   InputFilterConfig, LaserTrackConfig,
+                                   SolverConfig)
+from laser_slam_tpu.ops import se3
+from laser_slam_tpu.pipeline import online, replay
+
+from oracle import OracleSlam
+
+N_SCANS = 100
+N_POINTS = 2048
+
+
+def parity_config():
+    """Reference-equivalent settings: exact-NN matcher, kNN(10) PCA
+    normals, sort trim, no stochastic sampling, full-graph solve."""
+    return EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            input_filters=InputFilterConfig(
+                scan_capacity=N_POINTS, min_distance_m=0.0,
+                max_distance_m=1e6, random_sampling_ratio=1.0),
+            icp=IcpConfig(matcher='brute', reading_capacity=N_POINTS,
+                          reading_sampling_ratio=1.0,
+                          normal_method='knn', normal_knn=10,
+                          trim_method='sort')),
+        solver=SolverConfig(gn_iterations=3, pcg_iterations=128,
+                            pcg_tolerance=1e-10, window=0))
+
+
+def quat_angle_deg(q1, q2):
+    d = np.abs(np.clip(np.sum(q1 * q2, axis=-1), -1.0, 1.0))
+    return np.degrees(2.0 * np.arccos(d))
+
+
+def make_frames():
+    return list(replay.SyntheticStream(
+        n_scans=N_SCANS, points_per_scan=N_POINTS, trajectory='circle',
+        radius_m=15.0, noise_m=0.01, odom_noise=0.004, seed=7))
+
+
+def gt_closure(frames, i, j):
+    """Shared loop-closure input: the ground-truth world alignment
+    w_T_a_b such that  T_w_a_correct = w_T_a_b * T_w_b  (the segmatch
+    contract, incremental_estimator.cpp:83-87)."""
+    T_a = np.asarray(frames[i].gt_pose7)
+    T_b = np.asarray(frames[j].gt_pose7)
+    rel = se3.compose(se3.inverse(T_a), T_b)
+    # world alignment consistent with gt: w_T_a_b = T_a rel T_b^-1 = I
+    # in a perfect world; perturb nothing — identity in gt frames means
+    # w_T_a_b maps current (drifted) estimates.
+    return np.asarray(se3.compose(
+        np.asarray(T_a, np.float32),
+        se3.compose(rel, se3.inverse(np.asarray(T_b, np.float32)))),
+        np.float32)
+
+
+@pytest.mark.slow
+def test_final_trajectory_parity_vs_float64_oracle():
+    frames = make_frames()
+    closures = [(0, N_SCANS - 1), (10, N_SCANS - 5)]
+
+    cfg = parity_config()
+    runner = online.OnlineRunner(cfg, pose_capacity=128,
+                                 factor_capacity=512)
+    lt = cfg.laser_track
+    oracle = OracleSlam(
+        nscan_in_sub_map=lt.nscan_in_sub_map,
+        odometry_sigmas=lt.odometry_noise_model,
+        icp_sigmas=lt.icp_noise_model,
+        loop_closure_sigmas=cfg.loop_closure_noise_model,
+        prior_sigma=cfg.prior_noise_sigma,
+        robust_icp=lt.add_m_estimator_on_icp,
+        robust_lc=cfg.add_m_estimator_on_loop_closures,
+        knn=lt.icp.normal_knn,
+        solver_iterations=cfg.solver.gn_iterations)
+
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+        oracle.process_scan(f.time_ns, f.points, f.odom_pose7)
+    for a, b in closures:
+        w_T_a_b = gt_closure(frames, a, b)
+        runner.add_loop_closure(a, b, w_T_a_b)
+        oracle.add_loop_closure(a, b, w_T_a_b)
+
+    traj_tpu = runner.trajectory()
+    traj_ora = oracle.trajectory()
+    assert len(traj_tpu) == len(traj_ora) == N_SCANS
+
+    ttpu = np.stack([traj_tpu[f.time_ns] for f in frames])
+    tora = np.stack([traj_ora[f.time_ns] for f in frames])
+    trans_err = np.linalg.norm(ttpu[:, 4:] - tora[:, 4:], axis=1)
+    rot_err = quat_angle_deg(ttpu[:, :4], tora[:, :4])
+
+    print(f'\nparity vs float64 oracle over {N_SCANS} scans, '
+          f'{len(closures)} closures:')
+    print(f'  translation: mean {trans_err.mean()*1000:.2f} mm, '
+          f'max {trans_err.max()*1000:.2f} mm')
+    print(f'  rotation:    mean {rot_err.mean():.4f} deg, '
+          f'max {rot_err.max():.4f} deg')
+
+    # North-star clause (BASELINE.json): <1 cm / <0.1 deg.
+    assert trans_err.max() < 0.01, trans_err.max()
+    assert rot_err.max() < 0.1, rot_err.max()
+
+    # Sanity: both also track ground truth (not two equal-but-wrong runs).
+    gt = np.stack([f.gt_pose7 for f in frames])
+    gt_err = np.linalg.norm(ttpu[:, 4:] - gt[:, 4:], axis=1)
+    assert gt_err.max() < 0.15, gt_err.max()
+
+
+def test_oracle_icp_matches_framework_icp():
+    """Single-pair cross-check: framework f32 exact-NN ICP lands within
+    ~1 mm of the float64 cKDTree oracle ICP from the same inputs."""
+    import jax.numpy as jnp
+    from oracle import icp_point_to_plane as oracle_icp
+    from oracle import knn_pca_normals, pose7_to_T, T_to_pose7
+    from laser_slam_tpu.ops import cloud as pc
+    from laser_slam_tpu.ops import icp as icp_mod
+
+    rng = np.random.default_rng(3)
+    stream = replay.SyntheticStream(n_scans=2, points_per_scan=N_POINTS,
+                                    trajectory='line', step_m=0.5,
+                                    noise_m=0.01, seed=3)
+    frames = list(stream)
+    ref_np = frames[0].points.astype(np.float64)
+    read_np = frames[1].points.astype(np.float64)
+    # gt relative transform as initial-guess neighborhood
+    rel_gt = np.asarray(se3.compose(
+        se3.inverse(frames[0].gt_pose7), frames[1].gt_pose7))
+
+    T_oracle, ok = oracle_icp(read_np, ref_np, knn_pca_normals(ref_np),
+                              pose7_to_T(rel_gt))
+    assert ok
+
+    cfg = parity_config().laser_track.icp
+    ref = pc.make_cloud(frames[0].points, capacity=N_POINTS)
+    rd = pc.make_cloud(frames[1].points, capacity=N_POINTS)
+    normals = pc.estimate_normals(ref, knn=10)
+    res = icp_mod.icp(rd, ref, normals, jnp.asarray(rel_gt), cfg)
+    assert bool(res.valid)
+
+    p_oracle = T_to_pose7(T_oracle)
+    p_tpu = np.asarray(res.T)
+    assert np.linalg.norm(p_oracle[4:] - p_tpu[4:]) < 2e-3
+    assert quat_angle_deg(p_oracle[:4], p_tpu[:4]) < 0.02

@@ -23,12 +23,22 @@ def main():
     p.add_argument('--max-scans', type=int, default=None)
     p.add_argument('--matcher', default='projective')
     p.add_argument('--window', type=int, default=64)
+    p.add_argument('--scan-capacity', type=int, default=32768)
+    p.add_argument('--reading-capacity', type=int, default=8192)
+    p.add_argument('--reading-sampling', type=float, default=0.25)
+    p.add_argument('--min-distance', type=float, default=2.5)
+    p.add_argument('--cpu', action='store_true',
+                   help='force the CPU backend (tests/small fixtures)')
     p.add_argument('--map-out', default=None,
                    help='occupancy map output (.ply/.pcd/.xyz/.npz)')
     p.add_argument('--traj-out', default=None, help='trajectory CSV out')
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        # The axon plugin ignores JAX_PLATFORMS from the env; the config
+        # API is the only working override (CLAUDE.md).
+        jax.config.update('jax_platforms', 'cpu')
     from laser_slam_tpu.config import (EstimatorConfig, IcpConfig,
                                        InputFilterConfig, LaserTrackConfig,
                                        SolverConfig)
@@ -41,10 +51,11 @@ def main():
             odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
             icp_noise_model=(0.005,) * 6,
             input_filters=InputFilterConfig(
-                min_distance_m=2.5, max_distance_m=70.0,
-                scan_capacity=32768),
-            icp=IcpConfig(matcher=args.matcher, reading_capacity=8192,
-                          reading_sampling_ratio=0.25,
+                min_distance_m=args.min_distance, max_distance_m=70.0,
+                scan_capacity=args.scan_capacity),
+            icp=IcpConfig(matcher=args.matcher,
+                          reading_capacity=args.reading_capacity,
+                          reading_sampling_ratio=args.reading_sampling,
                           range_image_rows=64, range_image_cols=1024,
                           range_image_elev_min=-0.45,
                           range_image_elev_max=0.10)),

@@ -19,18 +19,86 @@ from dataclasses import dataclass, field
 from typing import Tuple
 
 
+# Filter types accepted in an InputFilterConfig.chain entry, with their
+# allowed parameters (ops/cloud.apply_filter_chain dispatches on these).
+FILTER_PARAMS = {
+    'range': {'min_distance_m', 'max_distance_m'},
+    'random_sampling': {'prob'},
+    'box': {'center', 'half_extent'},
+    'cylindrical': {'center', 'radius_m', 'height_m', 'remove_inside'},
+    'ground': {'robot_height_m', 'ground_clearance_m'},
+    'voxel': {'voxel_size_m', 'min_points_per_voxel'},
+}
+
+
+def _canonical_chain(chain):
+    """Normalize a filter chain to a hashable tuple of (type, params).
+
+    Accepts YAML-style ``[{type: range, min_distance_m: 1.0}, ...]`` or
+    already-canonical ``(('range', (('min_distance_m', 1.0),)), ...)``.
+    Unknown filter types or parameters fail loudly (the reference FATALs
+    on a bad input-filters file, laser_track.cpp:24-30).
+    """
+    out = []
+    for entry in chain:
+        if isinstance(entry, dict):
+            entry = dict(entry)
+            name = entry.pop('type', None)
+            params = entry
+        else:
+            name, raw = entry
+            params = dict(raw)
+        if name not in FILTER_PARAMS:
+            raise ValueError(
+                f'unknown input filter type {name!r}; expected one of '
+                f'{sorted(FILTER_PARAMS)}')
+        bad = set(params) - FILTER_PARAMS[name]
+        if bad:
+            raise ValueError(f'unknown parameter(s) {sorted(bad)} for input '
+                             f'filter {name!r}')
+        canon = tuple(sorted(
+            (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+            for k, v in params.items()))
+        out.append((name, canon))
+    return tuple(out)
+
+
 @dataclass(frozen=True)
 class InputFilterConfig:
     """Tensorized input filter chain applied to every incoming scan.
 
     Replaces the libpointmatcher DataPointsFilters loaded from
-    ``icp_input_filters_file`` (laser_track.cpp:24-30,146).  Filters run in
-    order: range gate -> random sampling -> pad/truncate to capacity.
+    ``icp_input_filters_file`` (laser_track.cpp:24-30,146).
+
+    Two modes:
+
+    * ``chain`` empty (default): the legacy fixed pipeline — range gate
+      -> random sampling -> pad/truncate to capacity.
+    * ``chain`` set (inline list of ``{type, params}`` entries, or loaded
+      from ``chain_file`` — a YAML list mirroring the reference's separate
+      input-filters file): the filters run IN ORDER, replacing the fixed
+      pipeline.  A missing ``chain_file`` raises (reference parity:
+      LaserTrack FATALs when its filter YAML is absent).
     """
     min_distance_m: float = 1.0          # drop self-hits near the sensor
     max_distance_m: float = 70.0         # drop far returns
     random_sampling_ratio: float = 1.0   # keep probability before padding
     scan_capacity: int = 16384           # fixed point budget per stored scan
+    chain: tuple = ()                    # ordered (type, params) filters
+    chain_file: str = ''                 # optional YAML list file
+
+    def __post_init__(self):
+        chain = self.chain
+        if self.chain_file:
+            import os
+            import yaml
+            if not os.path.exists(self.chain_file):
+                raise FileNotFoundError(
+                    f'input-filters file not found: {self.chain_file!r} '
+                    '(the reference FATALs here too, laser_track.cpp:24-30)')
+            with open(self.chain_file) as f:
+                chain = yaml.safe_load(f) or []
+        object.__setattr__(self, 'chain', _canonical_chain(chain))
 
 
 @dataclass(frozen=True)

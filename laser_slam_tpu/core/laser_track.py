@@ -53,9 +53,13 @@ def _ingest_scan(points, n_valid, key, config: LaserTrackConfig):
     f = config.input_filters
     mask = jnp.arange(points.shape[0]) < n_valid
     c = pc.Cloud(jnp.where(mask[:, None], points, pc.SENTINEL), mask)
-    c = pc.range_filter(c, f.min_distance_m, f.max_distance_m)
-    if f.random_sampling_ratio < 1.0:
-        c = pc.random_sampling_filter(c, f.random_sampling_ratio, key)
+    if f.chain:
+        # Configurable ordered chain (laser_track.cpp:24-30 parity).
+        c = pc.apply_filter_chain(c, f.chain, key)
+    else:
+        c = pc.range_filter(c, f.min_distance_m, f.max_distance_m)
+        if f.random_sampling_ratio < 1.0:
+            c = pc.random_sampling_filter(c, f.random_sampling_ratio, key)
     normals = pc.estimate_normals(c, knn=config.icp.normal_knn)
     return c, normals
 

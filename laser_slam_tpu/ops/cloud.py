@@ -212,6 +212,48 @@ def _hash_cells(cell_ijk, capacity: int) -> jax.Array:
     return (h.astype(jnp.uint32) % jnp.uint32(capacity)).astype(jnp.int32)
 
 
+def apply_filter_chain(cloud: Cloud, chain, key=None) -> Cloud:
+    """Apply an ordered, configurable filter chain (jit-friendly).
+
+    ``chain`` is the canonical tuple built by config._canonical_chain —
+    the TPU-native equivalent of libpointmatcher's ordered
+    DataPointsFilters file applied at ingest (laser_track.cpp:24-30,146).
+    All parameters are static (baked into the compiled step); only
+    'random_sampling' consumes randomness from ``key``.
+    """
+    import jax.random as jrandom
+    for name, raw in chain:
+        p = dict(raw)
+        if name == 'range':
+            cloud = range_filter(cloud, p.get('min_distance_m', 0.0),
+                                 p.get('max_distance_m', jnp.inf))
+        elif name == 'random_sampling':
+            if key is None:
+                raise ValueError("filter chain contains 'random_sampling' "
+                                 'but no PRNG key was provided')
+            key, sub = jrandom.split(key)
+            cloud = random_sampling_filter(cloud, float(p['prob']), sub)
+        elif name == 'box':
+            cloud = box_filter(cloud,
+                               jnp.asarray(p['center'], jnp.float32),
+                               jnp.asarray(p['half_extent'], jnp.float32))
+        elif name == 'cylindrical':
+            cloud = cylindrical_filter(
+                cloud, jnp.asarray(p.get('center', (0.0, 0.0, 0.0)),
+                                   jnp.float32),
+                float(p['radius_m']), float(p.get('height_m', 1e6)),
+                bool(p.get('remove_inside', False)))
+        elif name == 'ground':
+            cloud = ground_filter(cloud, float(p['robot_height_m']),
+                                  float(p.get('ground_clearance_m', 0.0)))
+        elif name == 'voxel':
+            cloud = voxel_filter(cloud, float(p['voxel_size_m']),
+                                 int(p.get('min_points_per_voxel', 1)))
+        else:
+            raise ValueError(f'unknown input filter type {name!r}')
+    return cloud
+
+
 # ---------------------------------------------------------------------------
 # Surface normals
 # ---------------------------------------------------------------------------

@@ -183,9 +183,14 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     f = lt.input_filters
     mask = jnp.arange(points.shape[0]) < n_valid
     scan = pc.Cloud(jnp.where(mask[:, None], points, pc.SENTINEL), mask)
-    scan = pc.range_filter(scan, f.min_distance_m, f.max_distance_m)
-    if f.random_sampling_ratio < 1.0:
-        scan = pc.random_sampling_filter(scan, f.random_sampling_ratio, sub1)
+    if f.chain:
+        # Configurable ordered chain (laser_track.cpp:24-30 parity).
+        scan = pc.apply_filter_chain(scan, f.chain, sub1)
+    else:
+        scan = pc.range_filter(scan, f.min_distance_m, f.max_distance_m)
+        if f.random_sampling_ratio < 1.0:
+            scan = pc.random_sampling_filter(scan, f.random_sampling_ratio,
+                                             sub1)
     if lt.icp.normal_method == 'range_image':
         from laser_slam_tpu.ops import range_image as ri
         normals = ri.range_image_normals(

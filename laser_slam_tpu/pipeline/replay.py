@@ -45,8 +45,9 @@ class SyntheticStream:
                  world_size_m: float = 60.0, noise_m: float = 0.01,
                  odom_noise: float = 0.0, seed: int = 0,
                  period_ns: int = int(1e8), step_m: float = 1.0,
-                 world_points: int = 65536):
+                 world_points: int = 65536, laps: int = 1):
         self.n_scans = n_scans
+        self.laps = laps
         self.points_per_scan = points_per_scan
         self.trajectory = trajectory
         self.radius_m = radius_m
@@ -96,7 +97,8 @@ class SyntheticStream:
 
     def gt_pose(self, i: int) -> np.ndarray:
         if self.trajectory == 'circle':
-            ang = 2 * np.pi * i / self.n_scans
+            # laps > 1 revisits the same poses (loop-closure workloads).
+            ang = 2 * np.pi * i * self.laps / self.n_scans
             yaw = ang + np.pi / 2
             q = np.array([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)], np.float32)
             t = np.array([self.radius_m * np.cos(ang),

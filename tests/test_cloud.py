@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from laser_slam_tpu.ops import cloud as pc
 from laser_slam_tpu.ops import se3
@@ -107,3 +108,87 @@ def test_estimate_normals_masked(rng):
     assert np.all(np.isfinite(np.asarray(normals)))
     np.testing.assert_allclose(np.linalg.norm(np.asarray(normals)[:50],
                                               axis=1), 1.0, atol=1e-4)
+
+
+class TestFilterChain:
+    """Configurable ordered input-filter chain (laser_track.cpp:24-30
+    contract: arbitrary ordered filters from YAML, fail-loudly)."""
+
+    def test_chain_canonicalization_and_yaml_roundtrip(self, tmp_path, rng):
+        import os
+        import laser_slam_tpu.config as cfg_mod
+        cfg = cfg_mod.Config(estimator=cfg_mod.EstimatorConfig(
+            laser_track=cfg_mod.LaserTrackConfig(
+                input_filters=cfg_mod.InputFilterConfig(
+                    scan_capacity=256,
+                    chain=[{'type': 'range', 'min_distance_m': 1.0,
+                            'max_distance_m': 50.0},
+                           {'type': 'random_sampling', 'prob': 0.5},
+                           {'type': 'voxel', 'voxel_size_m': 0.2}]))))
+        chain = cfg.estimator.laser_track.input_filters.chain
+        assert chain[0][0] == 'range' and chain[2][0] == 'voxel'
+        path = os.path.join(tmp_path, 'c.yaml')
+        cfg_mod.save_config(cfg, path)
+        cfg2 = cfg_mod.load_config(path)
+        assert cfg2.estimator.laser_track.input_filters.chain == chain
+
+    def test_chain_order_sensitivity(self, rng):
+        import jax
+        from laser_slam_tpu.config import _canonical_chain
+        from laser_slam_tpu.ops import cloud as pc
+        pts = rng.normal(size=(512, 3)).astype(np.float32) * 5.0
+        c = pc.make_cloud(pts)
+        key = jax.random.key(0)
+        a = [{'type': 'random_sampling', 'prob': 0.3},
+             {'type': 'voxel', 'voxel_size_m': 1.0,
+              'min_points_per_voxel': 2}]
+        b = list(reversed(a))
+        ca = pc.apply_filter_chain(c, _canonical_chain(a), key)
+        cb = pc.apply_filter_chain(c, _canonical_chain(b), key)
+        # voxel(min=2) after sampling sees thinned voxels; before, it
+        # keeps one point per dense voxel and sampling thins those ->
+        # different survivors.
+        assert int(ca.count()) != int(cb.count())
+
+    def test_unknown_filter_rejected(self):
+        from laser_slam_tpu.config import InputFilterConfig
+        with pytest.raises(ValueError, match='unknown input filter'):
+            InputFilterConfig(chain=[{'type': 'bogus'}])
+        with pytest.raises(ValueError, match='unknown parameter'):
+            InputFilterConfig(chain=[{'type': 'range', 'nope': 1}])
+
+    def test_missing_chain_file_fatal(self, tmp_path):
+        import os
+        from laser_slam_tpu.config import InputFilterConfig
+        with pytest.raises(FileNotFoundError):
+            InputFilterConfig(chain_file=os.path.join(tmp_path, 'none.yaml'))
+
+    def test_chain_file_loads(self, tmp_path):
+        import os
+        from laser_slam_tpu.config import InputFilterConfig
+        path = os.path.join(tmp_path, 'filters.yaml')
+        with open(path, 'w') as f:
+            f.write('- {type: range, min_distance_m: 2.0}\n'
+                    '- {type: ground, robot_height_m: 1.5}\n')
+        cfg = InputFilterConfig(chain_file=path)
+        assert [e[0] for e in cfg.chain] == ['range', 'ground']
+
+    def test_chain_drives_ingest(self, rng):
+        """A box filter in the chain must shape what LaserTrack stores."""
+        from laser_slam_tpu.config import (IcpConfig, InputFilterConfig,
+                                           LaserTrackConfig)
+        from laser_slam_tpu.core.laser_track import _ingest_scan
+        import jax
+        import jax.numpy as jnp
+        from laser_slam_tpu.ops import cloud as pc
+        pts = rng.uniform(-10, 10, size=(256, 3)).astype(np.float32)
+        cfg = LaserTrackConfig(
+            input_filters=InputFilterConfig(
+                scan_capacity=256,
+                chain=[{'type': 'box', 'center': [0.0, 0.0, 0.0],
+                        'half_extent': [5.0, 5.0, 5.0]}]),
+            icp=IcpConfig(normal_knn=4))
+        c, _ = _ingest_scan(jnp.asarray(pts), 256, jax.random.key(0), cfg)
+        kept = np.asarray(c.points)[np.asarray(c.mask)]
+        assert kept.shape[0] == int((np.abs(pts) <= 5.0).all(axis=1).sum())
+        assert np.all(np.abs(kept) <= 5.0)

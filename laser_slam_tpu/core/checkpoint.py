@@ -49,6 +49,114 @@ def _relposes_from_arrays(poses: np.ndarray,
             for p, m in zip(poses, meta)]
 
 
+def save_online_checkpoint(path: str, runner) -> None:
+    """Checkpoint the device-resident fast path (pipeline.online).
+
+    One bulk device->host transfer of the ``OnlineState`` pytree plus the
+    ``OnlineRunner``'s host bookkeeping; :func:`load_online_checkpoint`
+    resumes mid-sequence with bit-identical subsequent steps (the RNG key
+    round-trips through ``jax.random.key_data``).  The reference's closest
+    analog is the export-only GetLaserTrackSrv snapshot
+    (laser_slam_worker.cpp:260-317); resume has no reference equivalent.
+    """
+    import jax
+    state = runner.state
+    data = {'online_format_version': 1,
+            'n_tracks': runner.n_tracks,
+            'min_dist': np.float64(runner.min_dist),
+            'scan_cap': np.int64(runner.scan_cap),
+            'n_rel_host': np.int64(runner._n_rel_host),
+            'n_priors_seen': np.int64(runner._n_priors_seen),
+            'tracks_seen': np.asarray(sorted(runner._tracks_seen), np.int64),
+            'key_info': np.asarray(runner.key_info, np.int64).reshape(-1, 2),
+            'linked_flat': np.asarray(
+                [t for g in runner._linked_groups for t in g], np.int64),
+            'linked_sizes': np.asarray(
+                [len(g) for g in runner._linked_groups], np.int64),
+            'prior_slot_keys': np.asarray(
+                list(runner._prior_slot_of_track.keys()), np.int64),
+            'prior_slot_vals': np.asarray(
+                list(runner._prior_slot_of_track.values()), np.int64),
+            'last_odom_valid': np.asarray(
+                [o is not None for o in runner._last_odom]),
+            'last_odom': np.stack(
+                [o if o is not None else np.zeros(7, np.float32)
+                 for o in runner._last_odom])}
+    data['use_odometry'] = np.bool_(runner.use_odometry)
+    for name, leaf in state._asdict().items():
+        if name == 'rng_key':
+            leaf = jax.random.key_data(leaf)
+        data['s_' + name] = np.asarray(leaf)
+    if runner.archive is not None:
+        for name, leaf in runner.archive._asdict().items():
+            data['a_' + name] = np.asarray(leaf)
+    if runner.mapper is not None:
+        for pre, m in (('ml_', runner.mapper.local),
+                       ('md_', runner.mapper.distant)):
+            for name, leaf in m._asdict().items():
+                data[pre + name] = np.asarray(leaf)
+    np.savez_compressed(path, **data)
+
+
+def load_online_checkpoint(path: str, config, map_config=None):
+    """Rebuild an ``OnlineRunner`` from :func:`save_online_checkpoint`.
+
+    ``config`` must be the run's ``EstimatorConfig`` (capacities are taken
+    from the checkpoint arrays themselves, so a grown state restores at
+    its grown size).  Pass the run's ``map_config`` (WorkerConfig) to
+    restore an attached device map.
+    """
+    import jax
+    from laser_slam_tpu.pipeline import online
+    z = np.load(path, allow_pickle=False)
+    assert int(z['online_format_version']) == 1
+    runner = online.OnlineRunner.__new__(online.OnlineRunner)
+    runner.config = config
+    runner.n_tracks = int(z['n_tracks'])
+    runner.use_odometry = (bool(z['use_odometry'])
+                           if 'use_odometry' in z else True)
+    runner.archive = None
+    if 'a_points' in z:
+        runner.archive = online.ScanArchive(**{
+            name: jnp.asarray(z['a_' + name])
+            for name in online.ScanArchive._fields})
+    runner.mapper = None
+    if 'ml_points' in z and map_config is not None:
+        from laser_slam_tpu.pipeline import device_map
+        runner.mapper = device_map.DeviceMapper(map_config)
+        runner.mapper.local = device_map.MapState(**{
+            name: jnp.asarray(z['ml_' + name])
+            for name in device_map.MapState._fields})
+        runner.mapper.distant = device_map.MapState(**{
+            name: jnp.asarray(z['md_' + name])
+            for name in device_map.MapState._fields})
+    runner.min_dist = float(z['min_dist'])
+    runner.scan_cap = int(z['scan_cap'])
+    runner._n_rel_host = int(z['n_rel_host'])
+    runner._n_priors_seen = int(z['n_priors_seen'])
+    runner._tracks_seen = {int(t) for t in z['tracks_seen']}
+    runner.key_info = [(int(a), int(b)) for a, b in z['key_info']]
+    groups, off = [], 0
+    for size in z['linked_sizes']:
+        groups.append([int(t) for t in z['linked_flat'][off:off + size]])
+        off += int(size)
+    runner._linked_groups = groups
+    runner._prior_slot_of_track = {
+        int(k): int(v) for k, v in zip(z['prior_slot_keys'],
+                                       z['prior_slot_vals'])}
+    runner._last_odom = [
+        np.asarray(o, np.float32) if ok else None
+        for o, ok in zip(z['last_odom'], z['last_odom_valid'])]
+    leaves = {}
+    for name in online.OnlineState._fields:
+        arr = jnp.asarray(z['s_' + name])
+        if name == 'rng_key':
+            arr = jax.random.wrap_key_data(arr)
+        leaves[name] = arr
+    runner.state = online.OnlineState(**leaves)
+    return runner
+
+
 def save_checkpoint(path: str, estimator: IncrementalEstimator,
                     workers: Optional[Sequence] = None,
                     include_scans: bool = True) -> None:

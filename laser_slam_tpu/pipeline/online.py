@@ -77,6 +77,69 @@ class StepInfo(NamedTuple):
     solve_error: jax.Array
 
 
+class ScanArchive(NamedTuple):
+    """Downsampled per-key scan history for device-side loop-closure
+    submap ICP (buildSubMapAroundTime needs scans far older than the
+    submap ring keeps — laser_track.cpp:602-651).  Row k holds the scan
+    whose pose key is k, strided down to a fixed point budget."""
+    points: jax.Array   # [A,M,3] sensor frame, SENTINEL-parked
+    mask: jax.Array     # [A,M]
+    normals: jax.Array  # [A,M,3]
+    track: jax.Array    # [A] int32 owning track (-1 = empty row)
+
+
+def init_archive(pose_capacity: int, points_per_scan: int) -> ScanArchive:
+    return ScanArchive(
+        points=jnp.full((pose_capacity, points_per_scan, 3), pc.SENTINEL,
+                        jnp.float32),
+        mask=jnp.zeros((pose_capacity, points_per_scan), bool),
+        normals=jnp.zeros((pose_capacity, points_per_scan, 3), jnp.float32),
+        track=jnp.full((pose_capacity,), -1, jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def archive_append(archive: ScanArchive, points: jax.Array,
+                   mask: jax.Array, normals: jax.Array, key: jax.Array,
+                   track_id: jax.Array) -> ScanArchive:
+    """Store a (filtered) scan at its pose key, strided to the archive's
+    point budget.  Valid points are packed first so the stride samples
+    the real scan, not the padding."""
+    N = points.shape[0]
+    M = archive.points.shape[1]
+    if N > M:
+        order = jnp.argsort(~mask, stable=True)
+        rows = jnp.arange(M) * (N // M)
+        sel = order[rows]
+        pts, msk, nrm = points[sel], mask[sel], normals[sel]
+    else:
+        pad = M - N
+        pts = jnp.pad(points, ((0, pad), (0, 0)),
+                      constant_values=pc.SENTINEL)
+        msk = jnp.pad(mask, (0, pad))
+        nrm = jnp.pad(normals, ((0, pad), (0, 0)))
+    pts = jnp.where(msk[:, None], pts, pc.SENTINEL)
+    return ScanArchive(
+        points=archive.points.at[key].set(pts),
+        mask=archive.mask.at[key].set(msk),
+        normals=archive.normals.at[key].set(nrm),
+        track=archive.track.at[key].set(track_id))
+
+
+def grow_archive(archive: ScanArchive, pose_capacity: int) -> ScanArchive:
+    """Match a grown pose table (rows keyed by pose key)."""
+    extra = pose_capacity - archive.points.shape[0]
+    M = archive.points.shape[1]
+    return ScanArchive(
+        points=jnp.concatenate(
+            [archive.points,
+             jnp.full((extra, M, 3), pc.SENTINEL, jnp.float32)]),
+        mask=jnp.concatenate([archive.mask, jnp.zeros((extra, M), bool)]),
+        normals=jnp.concatenate(
+            [archive.normals, jnp.zeros((extra, M, 3), jnp.float32)]),
+        track=jnp.concatenate(
+            [archive.track, jnp.full((extra,), -1, jnp.int32)]))
+
+
 def init_state(config: EstimatorConfig, pose_capacity: int = 4096,
                factor_capacity: int = 8192, prior_capacity: int = 8,
                seed: int = 0, n_tracks: int = 1) -> OnlineState:
@@ -169,13 +232,20 @@ def _graph_view(state: OnlineState) -> FactorGraphData:
         prior_weight=state.prior_weight)
 
 
-@functools.partial(jax.jit, static_argnames=('config',),
+@functools.partial(jax.jit, static_argnames=('config', 'odometry_free'),
                    donate_argnums=(0,))
 def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
                 odom_pose7: jax.Array, config: EstimatorConfig,
-                track_id: jax.Array = jnp.int32(0)
+                track_id: jax.Array = jnp.int32(0),
+                odometry_free: bool = False
                 ) -> Tuple[OnlineState, StepInfo]:
-    """Integrate one scan of one track.  ``points`` padded to capacity."""
+    """Integrate one scan of one track.  ``points`` padded to capacity.
+
+    ``odometry_free``: ignore ``odom_pose7`` and propagate by constant
+    velocity — the relative motion between the last two solved poses is
+    replayed as the pseudo-odometry measurement (the reference's
+    odometry-free mode, laser_slam_worker.cpp:135-162, where the CV-
+    extrapolated pose feeds processPoseAndLaserScan in place of tf)."""
     lt = config.laser_track
     key_rng, sub1, sub2 = jax.random.split(state.rng_key, 3)
 
@@ -191,22 +261,8 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
         if f.random_sampling_ratio < 1.0:
             scan = pc.random_sampling_filter(scan, f.random_sampling_ratio,
                                              sub1)
-    if lt.icp.normal_method == 'range_image':
-        from laser_slam_tpu.ops import range_image as ri
-        normals = ri.range_image_normals(
-            scan, rows=lt.icp.normal_image_rows,
-            cols=lt.icp.normal_image_cols,
-            elev_min=lt.icp.range_image_elev_min,
-            elev_max=lt.icp.range_image_elev_max)
-    elif lt.icp.normal_method == 'image_pca':
-        from laser_slam_tpu.ops import range_image as ri
-        normals = ri.range_image_pca_normals(
-            scan, rows=lt.icp.normal_image_rows,
-            cols=lt.icp.normal_image_cols,
-            elev_min=lt.icp.range_image_elev_min,
-            elev_max=lt.icp.range_image_elev_max)
-    else:
-        normals = pc.estimate_normals(scan, knn=lt.icp.normal_knn)
+    from laser_slam_tpu.ops import range_image as ri
+    normals = ri.compute_normals(scan, lt.icp)
 
     i = state.n_poses
     prev_key = state.track_last_key[track_id]
@@ -236,8 +292,22 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
 
     def normal_branch(state):
         prev_meas = state.pose_meas[prev_key]
-        rel = se3.compose(se3.inverse(prev_meas), odom)
         prev_traj = state.traj_poses[prev_key]
+        if odometry_free:
+            # Constant velocity: replay the last solved relative motion
+            # (identity until two poses exist).
+            ring_keys_t = state.ring_keys[track_id]
+            prev2_key = (ring_keys_t[-2] if ring_keys_t.shape[0] >= 2
+                         else jnp.int32(-1))
+            prev2 = state.traj_poses[jnp.maximum(prev2_key, 0)]
+            rel = jnp.where(prev2_key >= 0,
+                            se3.normalize(se3.compose(se3.inverse(prev2),
+                                                      prev_traj)),
+                            se3.identity())
+            odom_eff = se3.normalize(se3.compose(prev_meas, rel))
+        else:
+            rel = se3.compose(se3.inverse(prev_meas), odom)
+            odom_eff = odom
         propagated = se3.normalize(se3.compose(prev_traj, rel))
 
         # Scan-to-submap ICP in the previous scan's frame
@@ -291,7 +361,7 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
                           1.0 if lt.use_icp_factors else 0.0, 0.0)),
             n_rel=n_rel + 2,
             traj_poses=state.traj_poses.at[i].set(propagated),
-            pose_meas=state.pose_meas.at[i].set(odom),
+            pose_meas=state.pose_meas.at[i].set(odom_eff),
             last_icp_valid=icp_res.valid,
             last_icp_inliers=icp_res.num_inliers)
         return state
@@ -352,29 +422,18 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     return state, info
 
 
-@functools.partial(jax.jit, static_argnames=('config', 'use_association'),
-                   donate_argnums=(0,))
-def online_loop_closure(state: OnlineState, key_a: jax.Array,
-                        key_b: jax.Array, w_T_a_b: jax.Array,
-                        config: EstimatorConfig,
-                        remove_prior_slot: jax.Array = jnp.int32(-1),
-                        use_association: bool = False
-                        ) -> Tuple[OnlineState, StepInfo]:
-    """Add a loop-closure factor between two existing keys and re-solve.
+def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
+                         key_b: jax.Array, a_T_a_b: jax.Array,
+                         config: EstimatorConfig,
+                         remove_prior_slot: jax.Array,
+                         use_association: bool
+                         ) -> Tuple[OnlineState, StepInfo]:
+    """Append one loop-closure factor (frame of key_a) and full-solve.
 
-    ``w_T_a_b`` is the world-frame alignment from place recognition; it is
-    converted to the relative frame of key_a exactly as
-    incremental_estimator.cpp:83-87.  (Submap ICP refinement is available
-    through the host API; the online path takes the alignment as given.)
-    """
-    T_w_a = state.traj_poses[key_a]
-    T_w_b = state.traj_poses[key_b]
-    a_T_a_b = se3.compose(se3.inverse(T_w_a),
-                          se3.compose(se3.normalize(w_T_a_b), T_w_b))
-    # Cross-track linking closures use the tighter first-association
-    # sigmas and deactivate the absorbed track's prior — pass
-    # remove_prior_slot >= 0 + use_association=True
-    # (incremental_estimator.cpp:240-258).
+    Cross-track linking closures use the tighter first-association sigmas
+    and deactivate the absorbed track's prior — pass
+    remove_prior_slot >= 0 + use_association=True
+    (incremental_estimator.cpp:240-258)."""
     if use_association:
         sig = 1.0 / jnp.asarray(config.first_association_noise_model,
                                 jnp.float32)
@@ -406,6 +465,89 @@ def online_loop_closure(state: OnlineState, key_a: jax.Array,
     return state, info
 
 
+@functools.partial(jax.jit, static_argnames=('config', 'use_association'),
+                   donate_argnums=(0,))
+def online_loop_closure(state: OnlineState, key_a: jax.Array,
+                        key_b: jax.Array, w_T_a_b: jax.Array,
+                        config: EstimatorConfig,
+                        remove_prior_slot: jax.Array = jnp.int32(-1),
+                        use_association: bool = False
+                        ) -> Tuple[OnlineState, StepInfo]:
+    """Add a loop-closure factor between two existing keys and re-solve.
+
+    ``w_T_a_b`` is the world-frame alignment from place recognition; it is
+    converted to the relative frame of key_a exactly as
+    incremental_estimator.cpp:83-87.  For submap-ICP refinement of the
+    alignment on device, use :func:`online_loop_closure_refined`.
+    """
+    T_w_a = state.traj_poses[key_a]
+    T_w_b = state.traj_poses[key_b]
+    a_T_a_b = se3.compose(se3.inverse(T_w_a),
+                          se3.compose(se3.normalize(w_T_a_b), T_w_b))
+    return _append_lc_and_solve(state, key_a, key_b, a_T_a_b, config,
+                                remove_prior_slot, use_association)
+
+
+def _gather_submap(state: OnlineState, archive: ScanArchive,
+                   center_key: jax.Array, frame_T_inv: jax.Array,
+                   radius: int):
+    """Submap around a key from the archive, in ``frame_T_inv``'s frame
+    (buildSubMapAroundTime, laser_track.cpp:602-651): the scans of the
+    center key's track with keys within ``radius``, transformed by their
+    current pose estimates."""
+    A = archive.points.shape[0]
+    ks = center_key + jnp.arange(-radius, radius + 1)
+    ksc = jnp.clip(ks, 0, A - 1)
+    valid_k = ((ks >= 0) & (ks < state.n_poses) &
+               (archive.track[ksc] == archive.track[center_key]) &
+               (archive.track[ksc] >= 0))
+    pts = archive.points[ksc]                      # [2R+1,M,3]
+    msk = archive.mask[ksc] & valid_k[:, None]
+    nrm = archive.normals[ksc]
+    rel = jax.vmap(lambda k: se3.compose(
+        frame_T_inv, state.traj_poses[k]))(ksc)
+    wpts = se3.apply(rel[:, None, :], pts)
+    wnrm = se3.quat_rotate(rel[:, None, :4], nrm)
+    cloud = pc.Cloud(
+        jnp.where(msk[..., None], wpts, pc.SENTINEL).reshape(-1, 3),
+        msk.reshape(-1))
+    return cloud, wnrm.reshape(-1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'use_association'),
+                   donate_argnums=(0,))
+def online_loop_closure_refined(state: OnlineState, archive: ScanArchive,
+                                key_a: jax.Array, key_b: jax.Array,
+                                w_T_a_b: jax.Array,
+                                config: EstimatorConfig,
+                                remove_prior_slot: jax.Array = jnp.int32(-1),
+                                use_association: bool = False
+                                ) -> Tuple[OnlineState, StepInfo]:
+    """Loop closure with device-side submap-ICP refinement
+    (incremental_estimator.cpp:90-115): radius submaps around both keys
+    are built from the scan archive, registered point-to-plane with the
+    place-recognition alignment as the initial guess, and the REFINED
+    transform becomes the factor.  A failed ICP falls back to the guess
+    (the reference's ConvergenceError path, laser_track.cpp:495-502)."""
+    R = config.loop_closures_sub_maps_radius
+    T_w_a = state.traj_poses[key_a]
+    T_w_b = state.traj_poses[key_b]
+    guess = se3.compose(se3.inverse(T_w_a),
+                        se3.compose(se3.normalize(w_T_a_b), T_w_b))
+    submap_a, normals_a = _gather_submap(state, archive, key_a,
+                                         se3.inverse(T_w_a), R)
+    submap_b, _ = _gather_submap(state, archive, key_b,
+                                 se3.inverse(T_w_b), R)
+    reading = pc.compact(submap_b, config.laser_track.icp.reading_capacity)
+    icp_res = icp_mod.icp_point_to_plane(reading, submap_a, normals_a,
+                                         guess, config.laser_track.icp)
+    meas = jnp.where(icp_res.valid, icp_res.T, guess)
+    state, info = _append_lc_and_solve(state, key_a, key_b, meas, config,
+                                       remove_prior_slot, use_association)
+    return state, info._replace(icp_valid=icp_res.valid,
+                                icp_inliers=icp_res.num_inliers)
+
+
 def extract_trajectory(state: OnlineState) -> np.ndarray:
     """One bulk device->host transfer: the valid trajectory [n,7]."""
     n = int(state.n_poses)
@@ -422,12 +564,28 @@ class OnlineRunner:
     def __init__(self, config: EstimatorConfig, pose_capacity: int = 4096,
                  factor_capacity: int = 8192,
                  minimum_distance_to_add_pose: float = 0.0, seed: int = 0,
-                 n_tracks: int = 1):
+                 n_tracks: int = 1, archive_points: int = 0,
+                 use_odometry_information: bool = True,
+                 map_config=None):
+        """``archive_points`` > 0 keeps a per-key downsampled scan archive
+        on device and enables submap-ICP refinement of loop closures when
+        ``config.do_icp_step_on_loop_closures`` is set.
+        ``use_odometry_information=False`` switches to the constant-
+        velocity odometry-free mode (pass ``odom_pose7=None`` to
+        process_scan).  ``map_config`` (a WorkerConfig) attaches a
+        device-resident local/distant map (pipeline.device_map)."""
         self.config = config
         self.n_tracks = n_tracks
         self.state = init_state(config, pose_capacity, factor_capacity,
                                 seed=seed, n_tracks=n_tracks)
         self.min_dist = minimum_distance_to_add_pose
+        self.use_odometry = use_odometry_information
+        self.archive = (init_archive(pose_capacity, archive_points)
+                        if archive_points > 0 else None)
+        self.mapper = None
+        if map_config is not None:
+            from laser_slam_tpu.pipeline.device_map import DeviceMapper
+            self.mapper = DeviceMapper(map_config)
         self._last_odom: list = [None] * n_tracks
         # (track_id, time_ns) per key, in key order.
         self.key_info: list = []
@@ -462,15 +620,25 @@ class OnlineRunner:
                                        self._n_priors_seen + new_priors)
         if kw:
             self.state = grow_state(self.state, **kw)
+            if self.archive is not None and 'pose_capacity' in kw:
+                self.archive = grow_archive(self.archive,
+                                            kw['pose_capacity'])
 
     def process_scan(self, time_ns: int, points: np.ndarray,
-                     odom_pose7: np.ndarray, track_id: int = 0) -> bool:
-        odom_pose7 = np.asarray(odom_pose7, np.float32)
-        last = self._last_odom[track_id]
-        if last is not None and self.min_dist > 0:
-            if np.linalg.norm(odom_pose7[4:] - last[4:]) <= self.min_dist:
-                return False
-        self._last_odom[track_id] = odom_pose7
+                     odom_pose7: Optional[np.ndarray] = None,
+                     track_id: int = 0) -> bool:
+        if odom_pose7 is None:
+            if self.use_odometry:
+                raise ValueError('odometry pose required when '
+                                 'use_odometry_information is set')
+            odom_pose7 = np.asarray(se3.identity(), np.float32)
+        else:
+            odom_pose7 = np.asarray(odom_pose7, np.float32)
+            last = self._last_odom[track_id]
+            if last is not None and self.min_dist > 0:
+                if np.linalg.norm(odom_pose7[4:] - last[4:]) <= self.min_dist:
+                    return False
+            self._last_odom[track_id] = odom_pose7
 
         first_scan_of_track = track_id not in self._tracks_seen
         self._tracks_seen.add(track_id)
@@ -483,9 +651,18 @@ class OnlineRunner:
         n = min(len(pts), self.scan_cap)
         padded = np.full((self.scan_cap, 3), pc.SENTINEL, np.float32)
         padded[:n] = pts[:n]
-        self.state, _ = online_step(self.state, jnp.asarray(padded),
-                                    jnp.int32(n), jnp.asarray(odom_pose7),
-                                    self.config, jnp.int32(track_id))
+        self.state, info = online_step(
+            self.state, jnp.asarray(padded), jnp.int32(n),
+            jnp.asarray(odom_pose7), self.config, jnp.int32(track_id),
+            odometry_free=not self.use_odometry)
+        if self.archive is not None:
+            self.archive = archive_append(
+                self.archive, self.state.ring_points[track_id, -1],
+                self.state.ring_mask[track_id, -1],
+                self.state.ring_normals[track_id, -1],
+                info.key, jnp.int32(track_id))
+        if self.mapper is not None:
+            self.mapper.accumulate(self.state, track_id)
         self.key_info.append((track_id, time_ns))
         if first_scan_of_track:
             # Prior slots are allocated in first-scan order
@@ -501,7 +678,9 @@ class OnlineRunner:
         """Inject a loop closure (keys are global).  Cross-track closures
         that link two previously unlinked groups remove the absorbed
         group's prior and use the first-association noise model
-        (estimateAndRemove semantics)."""
+        (estimateAndRemove semantics).  With a scan archive and
+        ``do_icp_step_on_loop_closures``, the alignment is refined by
+        device-side submap ICP first (incremental_estimator.cpp:90-115)."""
         self._ensure_capacity(new_rels=1)
         self._n_rel_host += 1
         track_a = self.key_info[key_a][0]
@@ -519,11 +698,31 @@ class OnlineRunner:
                         use_assoc = True
                 keep.extend(drop)
                 self._linked_groups.remove(drop)
-        self.state, _ = online_loop_closure(
-            self.state, jnp.int32(key_a), jnp.int32(key_b),
-            jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
-            remove_prior_slot=jnp.int32(remove_slot),
-            use_association=use_assoc)
+        old_last = None
+        if self.mapper is not None:
+            old_last = self.state.traj_poses[
+                jnp.maximum(self.state.track_last_key[track_b], 0)]
+        if (self.archive is not None
+                and self.config.do_icp_step_on_loop_closures):
+            self.state, _ = online_loop_closure_refined(
+                self.state, self.archive, jnp.int32(key_a),
+                jnp.int32(key_b),
+                jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
+                remove_prior_slot=jnp.int32(remove_slot),
+                use_association=use_assoc)
+        else:
+            self.state, _ = online_loop_closure(
+                self.state, jnp.int32(key_a), jnp.int32(key_b),
+                jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
+                remove_prior_slot=jnp.int32(remove_slot),
+                use_association=use_assoc)
+        if self.mapper is not None:
+            # Re-rigidify the device map by (new_last * old_last^-1)
+            # (updateLocalMap, laser_slam_worker.cpp:522-540).
+            new_last = self.state.traj_poses[
+                jnp.maximum(self.state.track_last_key[track_b], 0)]
+            self.mapper.rigidify(se3.compose(new_last,
+                                             se3.inverse(old_last)))
 
     def _find_group(self, track_id: int) -> list:
         for g in self._linked_groups:

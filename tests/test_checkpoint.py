@@ -86,6 +86,71 @@ def test_checkpoint_without_workers(tmp_path, rng):
     assert np.all(np.isfinite(values))
 
 
+def test_online_checkpoint_resume_bit_identical(tmp_path, rng):
+    """Kill-and-resume of the device-resident fast path: the resumed run's
+    trajectory must match the uninterrupted run bit-for-bit (the RNG key
+    round-trips, so even stochastic sampling stays aligned)."""
+    from laser_slam_tpu.pipeline import online
+    cfg = make_config().estimator
+    frames = list(replay.SyntheticStream(
+        n_scans=8, points_per_scan=2048, trajectory='circle', radius_m=8.0,
+        noise_m=0.005, odom_noise=0.003, seed=21))
+
+    run_a = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=64)
+    for f in frames:
+        run_a.process_scan(f.time_ns, f.points, f.odom_pose7)
+    run_a.add_loop_closure(0, 7, np.asarray(
+        [1, 0, 0, 0, 0, 0, 0], np.float32))
+
+    run_b = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=64)
+    for f in frames[:4]:
+        run_b.process_scan(f.time_ns, f.points, f.odom_pose7)
+    path = os.path.join(tmp_path, 'online.npz')
+    ckpt.save_online_checkpoint(path, run_b)
+    run_c = ckpt.load_online_checkpoint(path, cfg)
+    for f in frames[4:]:
+        run_c.process_scan(f.time_ns, f.points, f.odom_pose7)
+    run_c.add_loop_closure(0, 7, np.asarray(
+        [1, 0, 0, 0, 0, 0, 0], np.float32))
+
+    traj_a = run_a.trajectory()
+    traj_c = run_c.trajectory()
+    assert list(traj_a) == list(traj_c)
+    for t in traj_a:
+        np.testing.assert_array_equal(traj_a[t], traj_c[t])
+    assert run_c._n_rel_host == run_a._n_rel_host
+    assert int(run_c.state.n_rel) == int(run_a.state.n_rel)
+
+
+def test_online_checkpoint_multi_track(tmp_path, rng):
+    """Multi-robot bookkeeping (linked groups, prior slots) survives."""
+    from laser_slam_tpu.pipeline import online
+    cfg = make_config().estimator
+    s0 = list(replay.SyntheticStream(n_scans=3, points_per_scan=1024,
+                                     trajectory='line', step_m=0.6, seed=31))
+    s1 = list(replay.SyntheticStream(n_scans=3, points_per_scan=1024,
+                                     trajectory='line', step_m=0.6, seed=32))
+    r = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=64,
+                            n_tracks=2, archive_points=512)
+    for f0, f1 in zip(s0, s1):
+        r.process_scan(f0.time_ns, f0.points, f0.odom_pose7, track_id=0)
+        r.process_scan(f1.time_ns, f1.points, f1.odom_pose7, track_id=1)
+    path = os.path.join(tmp_path, 'online2.npz')
+    ckpt.save_online_checkpoint(path, r)
+    r2 = ckpt.load_online_checkpoint(path, cfg)
+    assert r2._linked_groups == r._linked_groups
+    assert r2._prior_slot_of_track == r._prior_slot_of_track
+    assert r2._tracks_seen == r._tracks_seen
+    # Scan archive round-trips (enables refined LCs after resume).
+    np.testing.assert_array_equal(np.asarray(r2.archive.track),
+                                  np.asarray(r.archive.track))
+    np.testing.assert_array_equal(np.asarray(r2.archive.points),
+                                  np.asarray(r.archive.points))
+    # Cross-track loop closure on the resumed runner works (links groups).
+    r2.add_loop_closure(0, 1, np.asarray([1, 0, 0, 0, 0, 0, 0], np.float32))
+    assert len(r2._linked_groups) == 1
+
+
 def test_csvio_roundtrip(tmp_path, rng):
     from laser_slam_tpu.core import csvio
     import os
@@ -104,9 +169,12 @@ def test_csvio_roundtrip(tmp_path, rng):
 
 def test_laser_to_map_tool(tmp_path, rng):
     """checkpoint -> occupancy map via the CLI tool (laser_to_octomap
-    equivalent)."""
-    import subprocess
-    import sys as _sys
+    equivalent).  Invoked in-process through main(argv) — same CLI
+    surface, but no second interpreter: a child python would load the
+    axon plugin and recompile every XLA kernel from scratch (no
+    persistent CPU cache, see conftest), which both times out and risks
+    the concurrent-process segfaults documented in CLAUDE.md."""
+    import importlib.util as _ilu
     cfg = make_config()
     est = IncrementalEstimator(cfg.estimator, 1)
     worker = LaserSlamWorker(cfg.worker, est, 0)
@@ -116,16 +184,14 @@ def test_laser_to_map_tool(tmp_path, rng):
     state = os.path.join(tmp_path, 'state.npz')
     ckpt.save_checkpoint(state, est, [worker])
     out = os.path.join(tmp_path, 'map.xyz')
-    import os as _os
-    env = dict(_os.environ, PYTHONPATH='/root/repo:' +
-               _os.environ.get('PYTHONPATH', ''),
-               JAX_PLATFORMS='cpu')
-    res = subprocess.run(
-        [_sys.executable, '/root/repo/tools/laser_to_map.py', state, out,
-         'resolution', '0.25', 'sensor_max_range', '30'],
-        capture_output=True, text=True, env=env, timeout=300)
-    assert res.returncode == 0, res.stderr[-500:]
-    assert _os.path.getsize(out) > 0
+    spec = _ilu.spec_from_file_location(
+        'laser_to_map_tool', '/root/repo/tools/laser_to_map.py')
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main(['laser_to_map.py', state, out,
+                   'resolution', '0.25', 'sensor_max_range', '30'])
+    assert rc == 0
+    assert os.path.getsize(out) > 0
 
 
 def test_relpose_epoch_ns_times_roundtrip(tmp_path):

@@ -264,3 +264,117 @@ def test_online_runner_grows_past_capacity(rng):
         runner.add_loop_closure(0, 6, np.asarray(
             [1, 0, 0, 0, 0, 0, 0], np.float32))
     assert int(runner.state.n_rel) == 17
+
+
+def test_online_odometry_free_constant_velocity(rng):
+    """Odometry-free mode (laser_slam_worker.cpp:135-162 semantics): the
+    CV-propagated guess plus ICP tracks a straight line without odometry."""
+    base = make_config()
+    # No odometry sensor -> no odometry factors; ICP is the sole motion
+    # constraint (the reference's odometry-free configs toggle
+    # use_odom_factors the same way, parameters.hpp:17-19).  The m-
+    # estimator stays off so the first scan's full step (CV predicts
+    # identity when only one pose exists) isn't Cauchy-downweighted.
+    cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3, use_odom_factors=False,
+            add_m_estimator_on_icp=False,
+            icp_noise_model=(0.01,) * 6,
+            input_filters=InputFilterConfig(scan_capacity=2048),
+            icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                          reading_sampling_ratio=1.0)),
+        solver=SolverConfig(gn_iterations=2, pcg_iterations=30))
+    runner = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256,
+                                 use_odometry_information=False)
+    frames = list(replay.SyntheticStream(
+        n_scans=6, points_per_scan=2048, trajectory='line', step_m=0.4,
+        noise_m=0.003, seed=41))
+    for f in frames:
+        assert runner.process_scan(f.time_ns, f.points)
+    traj = runner.trajectory()
+    # Relative to the first pose (the track starts at identity, not at
+    # the stream's ground-truth origin).
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops import se3
+    rel_est = se3.compose(se3.inverse(jnp.asarray(traj[frames[0].time_ns])),
+                          jnp.asarray(traj[frames[-1].time_ns]))
+    rel_gt = se3.compose(se3.inverse(jnp.asarray(frames[0].gt_pose7)),
+                         jnp.asarray(frames[-1].gt_pose7))
+    err = np.linalg.norm(np.asarray(rel_est)[4:] - np.asarray(rel_gt)[4:])
+    assert err < 0.15, err
+
+
+def test_online_refined_loop_closure_beats_raw_alignment(rng):
+    """Device-side submap-ICP refinement (incremental_estimator.cpp:90-115
+    parity): a deliberately perturbed place-recognition alignment must be
+    pulled back toward truth by the archive-based submap registration."""
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops import se3
+    cfg = make_config()
+    frames = list(replay.SyntheticStream(
+        n_scans=10, points_per_scan=2048, trajectory='circle', radius_m=6.0,
+        noise_m=0.003, odom_noise=0.01, seed=42))
+
+    def run(archive_points):
+        r = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256,
+                                archive_points=archive_points)
+        for f in frames:
+            r.process_scan(f.time_ns, f.points, f.odom_pose7)
+        traj = r.trajectory()
+        T_w_a = jnp.asarray(traj[frames[0].time_ns])
+        T_w_b = jnp.asarray(traj[frames[-1].time_ns])
+        gt_rel = se3.compose(se3.inverse(jnp.asarray(frames[0].gt_pose7)),
+                             jnp.asarray(frames[-1].gt_pose7))
+        # Perturb the world-frame alignment by 20 cm — a sloppy place-
+        # recognition hit the submap ICP should correct.
+        noise = se3.exp(jnp.asarray([0, 0, 0.01, 0.2, 0.1, 0.0],
+                                    jnp.float32))
+        w_T_a_b = se3.compose(T_w_a, se3.compose(
+            se3.compose(gt_rel, noise), se3.inverse(T_w_b)))
+        r.add_loop_closure(0, len(frames) - 1, np.asarray(w_T_a_b))
+        traj2 = r.trajectory()
+        rel_est = se3.compose(
+            se3.inverse(jnp.asarray(traj2[frames[0].time_ns])),
+            jnp.asarray(traj2[frames[-1].time_ns]))
+        return float(np.linalg.norm(
+            np.asarray(rel_est)[4:] - np.asarray(gt_rel)[4:]))
+
+    err_raw = run(archive_points=0)        # alignment taken as given
+    err_refined = run(archive_points=1024)  # submap-ICP refined
+    assert err_refined < err_raw * 0.6, (err_refined, err_raw)
+    assert err_refined < 0.06, err_refined
+
+
+def test_device_map_accumulate_filter_rigidify(rng):
+    """Device-resident local/distant map mirrors the host worker's
+    getFilteredMap semantics (laser_slam_worker.cpp:415-488,522-540)."""
+    from laser_slam_tpu.config import WorkerConfig
+    cfg = make_config()
+    map_cfg = WorkerConfig(local_map_capacity=1 << 14,
+                           distance_to_consider_fixed=5.0,
+                           voxel_size_m=0.2, separate_distant_map=True)
+    runner = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256,
+                                 map_config=map_cfg)
+    frames = list(replay.SyntheticStream(
+        n_scans=5, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.003, odom_noise=0.005, seed=43))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    assert len(runner.mapper.local_points()) > 1000
+    center = runner.trajectory()[frames[-1].time_ns][4:]
+    runner.mapper.refresh(center)
+    local = runner.mapper.local_points()
+    assert len(local) > 0
+    # Everything left in the live local map is inside the cylinder.
+    d = np.linalg.norm(local[:, :2] - center[None, :2], axis=1)
+    assert d.max() <= map_cfg.distance_to_consider_fixed + 1e-3
+    # Far points migrated to the distant map.
+    full = runner.mapper.full_map()
+    assert len(full) > len(local)
+    # Rigidify by a pure translation moves every point by that amount.
+    before = runner.mapper.full_map()
+    runner.mapper.rigidify(np.asarray([1, 0, 0, 0, 2.0, 0, 0], np.float32))
+    after = runner.mapper.full_map()
+    np.testing.assert_allclose(after - before,
+                               np.tile([2.0, 0, 0], (len(before), 1)),
+                               atol=1e-4)

@@ -130,6 +130,60 @@ def bench_cpu(rng, world, ref_np, normals_np, readings, n_runs=5):
     return float(np.median(times)), total_iters / n_runs
 
 
+def cpu_sparse_solver_proxy(n_poses=10_000, lc_every=500, reps=3):
+    """Sparse factorization/backsolve times for the 10k-pose graph on CPU.
+
+    Builds the Gauss-Newton normal equations with the exact block-sparsity
+    the pose graph has (6x6 blocks: chain odometry + periodic loop
+    closures + one prior) and times scipy's sparse LU (a stand-in for
+    Eigen/CHOLMOD class direct solvers that GTSAM's backend uses —
+    fill-reducing ordering + supernodal factorization; LU on an SPD matrix
+    is a mildly pessimistic but same-complexity proxy for LLT).
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    rng = np.random.default_rng(7)
+    B = 6
+    # Dense SPD 6x6 block per factor (rotation/translation coupling makes
+    # real pose-graph blocks dense; the pattern drives the Cholesky cost).
+    G = np.eye(B) + 0.05 * rng.standard_normal((B, B))
+    W = 1e4 * (G @ G.T)
+    rows, cols, vals = [], [], []
+
+    def add_block(i, j, M):
+        r, c = np.meshgrid(np.arange(B) + B * i, np.arange(B) + B * j,
+                           indexing='ij')
+        rows.append(r.ravel())
+        cols.append(c.ravel())
+        vals.append(M.ravel())
+
+    edges = [(i, i + 1) for i in range(n_poses - 1)]
+    edges += [(i, i + 100) for i in range(0, n_poses - 100, lc_every)]
+    for a, b in edges:
+        add_block(a, a, W)
+        add_block(b, b, W)
+        add_block(a, b, -W)
+        add_block(b, a, -W)
+    add_block(0, 0, 1e14 * np.eye(B))  # gauge prior
+    H = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(B * n_poses, B * n_poses)).tocsc()
+    rhs = rng.standard_normal(B * n_poses)
+
+    t_f = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        lu = spla.splu(H, permc_spec='MMD_AT_PLUS_A')
+        lu.solve(rhs)
+        t_f.append(time.perf_counter() - t0)
+    t_b = []
+    for _ in range(reps * 3):
+        t0 = time.perf_counter()
+        lu.solve(rhs)
+        t_b.append(time.perf_counter() - t0)
+    return float(np.median(t_f) * 1e3), float(np.median(t_b) * 1e3)
+
+
 # ---------------------------------------------------------------------------
 # TPU benchmark
 # ---------------------------------------------------------------------------
@@ -171,6 +225,17 @@ def main():
     cpu_rate = 1.0 / cpu_mean_s
     extras['cpu_kdtree_pairs_per_sec'] = round(cpu_rate, 3)
     extras['cpu_mean_iters'] = round(cpu_iters, 1)
+
+    # CPU incremental-solver proxy (the iSAM2 anchor): sparse Cholesky-
+    # class factorization of the SAME 10k-pose graph's normal equations
+    # (6x6 blocks, chain + loop closures), measured as (a) full
+    # factorize+solve — the batch / relinearization cost — and (b)
+    # backsolve with a cached factorization — the lower bound on an
+    # iSAM2-style per-scan update that only re-solves.  Run before jax
+    # imports so the single host core is quiet.
+    cpu_full_ms, cpu_back_ms = cpu_sparse_solver_proxy()
+    extras['cpu_sparse_factorize_solve_10k_ms'] = round(cpu_full_ms, 2)
+    extras['cpu_sparse_backsolve_10k_ms'] = round(cpu_back_ms, 2)
 
     import jax
     _enable_compile_cache()
@@ -356,6 +421,73 @@ def main():
     jax.block_until_ready(runner_f.state.traj_poses)
     extras['tpu_e2e_fast_scans_per_sec'] = round(
         (len(frames) - 8) / (time.perf_counter() - t0), 2)
+
+    # Per-scan incremental solve cost (the honest iSAM2-equivalent
+    # number): the window=64 sliced solve EXACTLY as online_step runs it
+    # per scan, warm-started from the current estimate.  Compare with
+    # cpu_sparse_backsolve_10k_ms / cpu_sparse_factorize_solve_10k_ms.
+    st = runner_f.state
+    Wn = 64
+    Fw = min(2 * Wn + 2, st.rel_meas.shape[0])
+    n_rel_now = int(st.n_rel)
+    start = min(max(n_rel_now - Fw, 0), st.rel_meas.shape[0] - Fw)
+    gsl = fg.FactorGraphData(
+        rel_meas=st.rel_meas[start:start + Fw],
+        rel_keys=st.rel_keys[start:start + Fw],
+        rel_sqrt_info=st.rel_sqrt_info[start:start + Fw],
+        rel_robust=st.rel_robust[start:start + Fw],
+        rel_fixed_a=jnp.zeros((Fw,), bool),
+        rel_weight=st.rel_weight[start:start + Fw],
+        prior_meas=st.prior_meas, prior_keys=st.prior_keys,
+        prior_sqrt_info=st.prior_sqrt_info,
+        prior_weight=st.prior_weight)
+    n_now = int(st.n_poses)
+    pidx = np.arange(st.traj_poses.shape[0])
+    wmask = jnp.asarray((pidx < n_now) & (pidx >= n_now - Wn))
+    scfg_w = SolverConfig(gn_iterations=3, pcg_iterations=32)
+    base_poses = np.asarray(st.traj_poses)
+    inits_w = []
+    for rep in range(5):
+        p = base_poses.copy()
+        p[:n_now, 4:] += rng.normal(size=(n_now, 3)).astype(np.float32) * 1e-3
+        inits_w.append(jnp.asarray(p))
+    jax.block_until_ready(sv.solve(gsl, inits_w[0], wmask, scfg_w))
+    t0 = time.perf_counter()
+    outs_w = [sv.solve(gsl, p, wmask, scfg_w) for p in inits_w]
+    jax.block_until_ready(outs_w)
+    extras['tpu_solve_ms_per_scan_window64'] = round(
+        (time.perf_counter() - t0) / 5 * 1e3, 2)
+
+    # KITTI-density end-to-end: 64-beam-class scans (~131k raw points)
+    # through the full online pipeline (VERDICT r1 item 3; geometry per
+    # velodyne_assembler_ros.cpp:57-143, flow laser_slam_worker.cpp:96-253).
+    kitti_cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=5,
+            odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+            icp_noise_model=(0.005,) * 6,
+            input_filters=InputFilterConfig(scan_capacity=131072),
+            icp=IcpConfig(matcher='projective', reading_capacity=8192,
+                          reading_sampling_ratio=0.0625,
+                          normal_method='image_pca',
+                          normal_image_rows=64, normal_image_cols=2048,
+                          range_image_rows=64, range_image_cols=1024)),
+        solver=SolverConfig(gn_iterations=3, pcg_iterations=32, window=64))
+    runner_k = online.OnlineRunner(kitti_cfg, pose_capacity=2048,
+                                   factor_capacity=8192)
+    frames_k = list(replay.SyntheticStream(
+        n_scans=20, points_per_scan=131072, world_points=262144,
+        trajectory='circle', radius_m=20.0, noise_m=0.01,
+        odom_noise=0.005, seed=6))
+    for f in frames_k[:6]:
+        runner_k.process_scan(f.time_ns, f.points, f.odom_pose7)
+    jax.block_until_ready(runner_k.state.traj_poses)
+    t0 = time.perf_counter()
+    for f in frames_k[6:]:
+        runner_k.process_scan(f.time_ns, f.points, f.odom_pose7)
+    jax.block_until_ready(runner_k.state.traj_poses)
+    extras['tpu_e2e_kitti_density_scans_per_sec'] = round(
+        (len(frames_k) - 6) / (time.perf_counter() - t0), 2)
 
     # Fleet mode (BASELINE config 5): 256 parallel trajectories on one chip.
     from laser_slam_tpu.parallel import fleet as fleet_mod

@@ -118,8 +118,10 @@ class IcpConfig:
     # scans); 'image_pca' = PCA over the 3x3 range-image neighborhood
     # (one wide gather, ~3x faster end-to-end, near-kNN quality);
     # 'range_image' = O(N) cross-product of image tangents (fastest,
-    # noisier).
-    normal_method: str = 'knn'
+    # noisier); 'auto' (default) = image_pca for scans >= 8192 points,
+    # knn below (range_image.compute_normals; accuracy delta quantified
+    # in tests/test_range_image.py::test_image_pca_vs_knn_accuracy).
+    normal_method: str = 'auto'
     # Image size for normal estimation (should roughly match scan
     # density; independent of the matcher's range image).
     normal_image_rows: int = 32
@@ -152,6 +154,13 @@ class IcpConfig:
     #   'projective' spherical range-image association (LOAM/KISS-ICP
     #                style) — the fast path for LiDAR scan matching
     matcher: str = 'brute'
+    # 'pallas' matcher kernel variant: 'payload' returns [point|normal]
+    # straight from the kernel via a one-hot MXU select (no HBM gathers —
+    # row gathers cost ~5 ms for 2x8k rows on this part, dwarfing the
+    # 0.2 ms kernel); 'pruned' adds Morton+AABB tile skipping; 'indices'
+    # returns argmin indices + XLA gathers (the textbook layout; kept as
+    # the measured-slower fallback and for payloads too wide for VMEM).
+    pallas_variant: str = 'payload'
     grid_cell_size_m: float = 1.0
     grid_cell_capacity: int = 16
     max_correspondence_dist_m: float = 3.0
@@ -191,6 +200,11 @@ class LaserTrackConfig:
     # kDistanceBetweenPriorPoses_m (laser_track.hpp:235): forced priors place
     # track i at y = i * this.
     distance_between_prior_poses_m: float = 100.0
+    # Populate LaserTrack.covariances with the new key's 6x6 marginal
+    # after every estimate.  Default off: the reference declares the same
+    # path (laser_track.cpp:421-429 appendCovariances) but never invokes
+    # it, and the marginal probes cost ~6 extra PCG solves per scan.
+    update_covariances: bool = False
     icp: IcpConfig = field(default_factory=IcpConfig)
     input_filters: InputFilterConfig = field(default_factory=InputFilterConfig)
 

@@ -60,7 +60,8 @@ def _ingest_scan(points, n_valid, key, config: LaserTrackConfig):
         c = pc.range_filter(c, f.min_distance_m, f.max_distance_m)
         if f.random_sampling_ratio < 1.0:
             c = pc.random_sampling_filter(c, f.random_sampling_ratio, key)
-    normals = pc.estimate_normals(c, knn=config.icp.normal_knn)
+    from laser_slam_tpu.ops import range_image as ri
+    normals = ri.compute_normals(c, config.icp)
     return c, normals
 
 
@@ -126,6 +127,7 @@ class LaserTrack:
         # Pose measurements (odometry input), time -> pose7.
         self.pose_measurement_times: List[Time] = []
         self.pose_measurements: List[np.ndarray] = []
+        self._pose_meas_index: Dict[Time, int] = {}
         self.odometry_measurements: List[RelativePose] = []
         self.icp_transformations: List[RelativePose] = []
         self.loop_closures: List[RelativePose] = []
@@ -152,12 +154,19 @@ class LaserTrack:
 
     def _pose_measurement_at(self, time_ns: Time) -> np.ndarray:
         """Pose measurement at an exact time (findPose,
-        laser_track.cpp:539-555)."""
-        for t, p in zip(reversed(self.pose_measurement_times),
-                        reversed(self.pose_measurements)):
-            if t == time_ns:
-                return p
-        raise KeyError(f'no pose measurement at time {time_ns}')
+        laser_track.cpp:539-555).
+
+        O(1) amortized: the time->index map is rebuilt lazily whenever the
+        measurement list has grown (it is only ever appended to, or bulk-
+        replaced on checkpoint load), never scanned linearly per query.
+        """
+        if len(self._pose_meas_index) != len(self.pose_measurement_times):
+            self._pose_meas_index = {
+                t: i for i, t in enumerate(self.pose_measurement_times)}
+        idx = self._pose_meas_index.get(time_ns)
+        if idx is None:
+            raise KeyError(f'no pose measurement at time {time_ns}')
+        return self.pose_measurements[idx]
 
     def get_num_scans(self) -> int:
         return len(self.scans)

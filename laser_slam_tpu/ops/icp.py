@@ -162,15 +162,29 @@ def icp_point_to_plane(
             return q, n, d2, msk
     elif config.matcher == 'pallas' and grid is None:
         from laser_slam_tpu.ops import pallas_nn
-        # Payload = [point, normal]; parked reference points carry huge
-        # |r|^2 scores and can never win, so no mask gather is needed.
-        payload = jnp.concatenate([reference.points, ref_normals], axis=1)
+        # Parked reference points carry huge |r|^2 scores and can never
+        # win, so no mask gather is needed.  Variant trade-offs are
+        # documented on IcpConfig.pallas_variant.
         interpret = not pallas_nn.on_tpu()
+        if config.pallas_variant in ('payload', 'pruned'):
+            payload = jnp.concatenate([reference.points, ref_normals],
+                                      axis=1)
+            kern = (pallas_nn.nn_payload
+                    if config.pallas_variant == 'payload'
+                    else pallas_nn.nn_payload_pruned)
 
-        def match_payload(p_world, msk):
-            d2, pay = pallas_nn.nn_payload_pruned(
-                p_world, reference.points, payload, interpret=interpret)
-            return pay[:, :3], pay[:, 3:6], d2, msk
+            def match_payload(p_world, msk):
+                d2, pay = kern(p_world, reference.points, payload,
+                               interpret=interpret)
+                return pay[:, :3], pay[:, 3:6], d2, msk
+        elif config.pallas_variant == 'indices':
+            def match_payload(p_world, msk):
+                d2, idx = pallas_nn.nn_indices(p_world, reference.points,
+                                               interpret=interpret)
+                return ref_ext_pts[idx], ref_ext_normals[idx], d2, msk
+        else:
+            raise ValueError(
+                f'unknown pallas_variant {config.pallas_variant!r}')
     else:
         def match_payload(p_world, msk):
             if grid is not None:

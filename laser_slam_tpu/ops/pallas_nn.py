@@ -144,6 +144,98 @@ def nn_payload(queries: jax.Array, ref_points: jax.Array,
     return d2_true, pay[:, :P]
 
 
+def _nn_idx_kernel(q_ref, r_ref, d2_ref, idx_ref, best_score, best_idx):
+    """Fused score + running ARGMIN (index, not payload).
+
+    The payload-matmul variant (:func:`nn_payload`) spends its time on the
+    per-tile ``onehot @ payload`` MXU op (Q/QB x R/RB tiles x QB x RB x 128
+    MACs ~ 137 GFLOP at the 8k/64k workload) plus the payload tile DMA
+    (P_pad=128 f32 rows re-streamed for every query tile).  Tracking only
+    the best index per query removes both: the tile argmin is two VPU
+    reductions over scores that already exist, and the 6-float payload is
+    fetched ONCE per query by an XLA gather outside the kernel.
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_score[:] = jnp.full_like(best_score, jnp.inf)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    q = q_ref[:]                     # [QB, 8]
+    r = r_ref[:]                     # [RB, 8]
+    s = jax.lax.dot_general(q, r, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [QB, RB]
+    tile_min = jnp.min(s, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    rb = s.shape[1]
+    tile_arg = jnp.min(jnp.where(s <= tile_min, col, rb), axis=1,
+                       keepdims=True)
+    take = tile_min < best_score[:]
+    best_score[:] = jnp.where(take, tile_min, best_score[:])
+    best_idx[:] = jnp.where(take, tile_arg + j * rb, best_idx[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        d2_ref[:] = best_score[:]
+        idx_ref[:] = best_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def nn_indices(queries: jax.Array, ref_points: jax.Array,
+               interpret: bool = False):
+    """For each query, (true squared distance, index) of its nearest
+    reference point.  Same score trick as :func:`nn_payload`; returns
+    indices for one outside gather instead of matmul-selected payloads.
+
+    queries: [Q,3] f32; ref_points: [R,3] f32 (park invalid points at
+    cloud.SENTINEL — they can never win).  Returns (d2 [Q], idx [Q] i32).
+    """
+    Q, _ = queries.shape
+    R, _ = ref_points.shape
+    qb = _tile(Q, _QB)
+    rb = _tile(R, _RB)
+
+    q_norm2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+    q_ext = jnp.concatenate(
+        [queries, jnp.ones((Q, 1), jnp.float32),
+         jnp.zeros((Q, 4), jnp.float32)], axis=1)
+    r_ext = jnp.concatenate(
+        [-2.0 * ref_points,
+         jnp.sum(ref_points * ref_points, axis=1, keepdims=True),
+         jnp.zeros((R, 4), jnp.float32)], axis=1)
+
+    d2, idx = pl.pallas_call(
+        _nn_idx_kernel,
+        grid=(Q // qb, R // rb),
+        in_specs=[
+            pl.BlockSpec((qb, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qb, 1), jnp.float32),
+            pltpu.VMEM((qb, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_ext, r_ext)
+
+    d2_true = jnp.maximum(d2 + q_norm2, 0.0)[:, 0]
+    return d2_true, idx[:, 0]
+
+
 def on_tpu() -> bool:
     return jax.default_backend() in ('tpu', 'axon')
 

@@ -217,6 +217,39 @@ def range_image_pca_normals(cloud: Cloud, rows: int = 64, cols: int = 1024,
                      jnp.array([0.0, 0.0, 1.0], pts.dtype))
 
 
+def compute_normals(cloud: Cloud, icp_config) -> jax.Array:
+    """Per-scan normal estimation dispatched on ``IcpConfig.normal_method``.
+
+    ``'auto'`` (the default) picks ``'image_pca'`` for dense scans
+    (capacity >= 8192 points, where the kNN PCA's tiled O(N^2) sweep
+    dominates ingest cost) and ``'knn'`` for small ones (where the range
+    image is too sparse for reliable pixel neighborhoods).  Measured on a
+    dense synthetic Velodyne-like scan, image_pca normals agree with kNN
+    PCA within a few degrees median and the resulting ICP solutions within
+    millimeters (tests/test_range_image.py::test_image_pca_vs_knn_accuracy)
+    at ~3x the end-to-end ingest throughput.
+    """
+    method = icp_config.normal_method
+    if method == 'auto':
+        method = 'image_pca' if cloud.points.shape[0] >= 8192 else 'knn'
+    if method == 'range_image':
+        return range_image_normals(
+            cloud, rows=icp_config.normal_image_rows,
+            cols=icp_config.normal_image_cols,
+            elev_min=icp_config.range_image_elev_min,
+            elev_max=icp_config.range_image_elev_max)
+    if method == 'image_pca':
+        return range_image_pca_normals(
+            cloud, rows=icp_config.normal_image_rows,
+            cols=icp_config.normal_image_cols,
+            elev_min=icp_config.range_image_elev_min,
+            elev_max=icp_config.range_image_elev_max)
+    if method != 'knn':
+        raise ValueError(f'unknown normal_method {method!r}')
+    from laser_slam_tpu.ops.cloud import estimate_normals
+    return estimate_normals(cloud, knn=icp_config.normal_knn)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def nn_projective(queries: jax.Array, image: RangeImage):
     """Projective 1-NN: project each query, test its pixel window,

@@ -74,7 +74,11 @@ class LaserSlamWorker:
         self._map_points = np.full((cap, 3), pc.SENTINEL, np.float32)
         self._map_count = 0
         self._local_map_queue: List[np.ndarray] = []
-        self._distant_points = np.zeros((0, 3), np.float32)
+        # Distant map: amortized-doubling buffer (appends happen on every
+        # get_filtered_map call over a long run — per-call re-concatenation
+        # would be O(total map size) per scan).
+        self._distant_buf = np.zeros((0, 3), np.float32)
+        self._distant_count = 0
         self._local_map_filtered: Optional[pc.Cloud] = None
 
     # ------------------------------------------------------------------
@@ -132,6 +136,12 @@ class LaserSlamWorker:
             else:
                 result = self.estimator.estimate(factors, values, curve_time)
             self.laser_track.update_from_values(result)
+            if self.laser_track.config.update_covariances:
+                # appendCovariances path (laser_track.cpp:421-429; the
+                # reference declares it but never wires it — opt-in here).
+                new_key = self.laser_track.scans[-1].key
+                self.laser_track.append_covariances(
+                    self.estimator.marginal_covariances([new_key]))
 
         # world_to_odom correction (scanCallback:175-191).
         if odom_pose7 is not None:
@@ -233,18 +243,40 @@ class LaserSlamWorker:
         if self.params.separate_distant_map:
             far_np = np.asarray(far.points)[np.asarray(far.mask)]
             if len(far_np):
-                self._distant_points = (
-                    np.concatenate([self._distant_points, far_np])
-                    if len(self._distant_points) else far_np)
+                self._append_distant(far_np)
             # Keep only near points in the live local map.
             self._map_points[:] = pc.SENTINEL
             self._map_points[:len(near_np)] = near_np
             self._map_count = len(near_np)
             self._local_map_filtered = near_np
-            return (np.concatenate([near_np, self._distant_points])
-                    if len(self._distant_points) else near_np)
+            if self._distant_count:
+                return np.concatenate(
+                    [near_np, self._distant_buf[:self._distant_count]])
+            return near_np
         self._local_map_filtered = near_np
         return near_np
+
+    def _append_distant(self, pts: np.ndarray) -> None:
+        need = self._distant_count + len(pts)
+        if need > len(self._distant_buf):
+            cap = max(1024, len(self._distant_buf))
+            while cap < need:
+                cap *= 2
+            buf = np.zeros((cap, 3), np.float32)
+            buf[:self._distant_count] = self._distant_buf[:self._distant_count]
+            self._distant_buf = buf
+        self._distant_buf[self._distant_count:need] = pts
+        self._distant_count = need
+
+    @property
+    def _distant_points(self) -> np.ndarray:
+        """The distant map as a contiguous [M,3] view (checkpoint format)."""
+        return self._distant_buf[:self._distant_count]
+
+    @_distant_points.setter
+    def _distant_points(self, pts: np.ndarray) -> None:
+        self._distant_buf = np.asarray(pts, np.float32).reshape(-1, 3).copy()
+        self._distant_count = len(self._distant_buf)
 
     def get_local_map_filtered(self) -> np.ndarray:
         if self._local_map_filtered is None:

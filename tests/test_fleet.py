@@ -97,3 +97,65 @@ def test_sharded_fleet_step(rng):
     assert err.max() < 0.3, err
     # Output really is dp-sharded.
     assert len(poses.sharding.device_set) >= 4
+
+
+def test_sharded_step_matches_unsharded(rng):
+    """Multi-chip correctness, not just liveness (VERDICT r1 item 9): the
+    (dp x sp)-sharded step must reproduce the single-device result — the
+    sp point-shard psum reductions and dp lane sharding may not change
+    the math beyond float reassociation noise."""
+    assert len(jax.devices()) == 8
+    mesh = sharding.make_mesh(8)
+    points, masks, normals, init_pose, odom_rel, gt = fleet_inputs(
+        rng, B=4, T=3, N=1024)
+    icp_cfg = IcpConfig(matcher='brute', reading_capacity=1024,
+                        reading_sampling_ratio=1.0)
+    scfg = SolverConfig(gn_iterations=2, pcg_iterations=20)
+
+    step = sharding.fleet_slam_step(mesh, icp_cfg, scfg)
+    args = sharding.shard_fleet_inputs(mesh, points, masks, normals,
+                                       init_pose, odom_rel)
+    sigmas = jnp.full((6,), 0.01, jnp.float32)
+    poses_sharded, _ = step(*args, sigmas)
+
+    # Unsharded reference: the same pipeline on one device.
+    dev0 = jax.devices()[0]
+    put = lambda x: jax.device_put(x, dev0)
+    odo = fleet.fleet_icp_odometry(put(points), put(masks), put(normals),
+                                   put(init_pose), put(odom_rel), icp_cfg)
+    graphs, pose_mask = fleet.build_fleet_chain_graphs(
+        odo.rel_icp, odo.valid, put(init_pose), put(sigmas))
+    result = fleet.fleet_solve(graphs, odo.poses, pose_mask, scfg)
+
+    np.testing.assert_allclose(np.asarray(poses_sharded),
+                               np.asarray(result.poses), atol=1e-5)
+
+
+def test_dp_scales_to_full_mesh_lanes(rng):
+    """dp-only mesh: 8 lanes across 8 devices, each lane's result equal to
+    the same lane solved alone on one device."""
+    assert len(jax.devices()) == 8
+    mesh = sharding.make_mesh(8, dp=8, sp=1)
+    points, masks, normals, init_pose, odom_rel, gt = fleet_inputs(
+        rng, B=8, T=3, N=512)
+    icp_cfg = IcpConfig(matcher='brute', reading_capacity=512,
+                        reading_sampling_ratio=1.0)
+    scfg = SolverConfig(gn_iterations=2, pcg_iterations=20)
+    step = sharding.fleet_slam_step(mesh, icp_cfg, scfg)
+    args = sharding.shard_fleet_inputs(mesh, points, masks, normals,
+                                       init_pose, odom_rel)
+    sigmas = jnp.full((6,), 0.01, jnp.float32)
+    poses8, _ = step(*args, sigmas)
+    assert len(poses8.sharding.device_set) == 8  # really spread over dp
+
+    # Lane 3 alone on one device.
+    dev0 = jax.devices()[0]
+    put = lambda x: jax.device_put(x[3:4], dev0)
+    odo = fleet.fleet_icp_odometry(put(points), put(masks), put(normals),
+                                   put(init_pose), put(odom_rel), icp_cfg)
+    graphs, pose_mask = fleet.build_fleet_chain_graphs(
+        odo.rel_icp, odo.valid, put(init_pose),
+        jax.device_put(sigmas, dev0))
+    result = fleet.fleet_solve(graphs, odo.poses, pose_mask, scfg)
+    np.testing.assert_allclose(np.asarray(poses8)[3],
+                               np.asarray(result.poses)[0], atol=1e-5)

@@ -74,3 +74,15 @@ def test_icp_pallas_matcher_matches_brute(rng):
     err_t = np.linalg.norm(np.asarray(
         se3.translation(res_p.T) - se3.translation(T_true)))
     assert err_t < 0.01, err_t
+
+
+def test_nn_indices_matches_brute(rng):
+    from laser_slam_tpu.ops import neighbors as nb
+    import jax.numpy as jnp
+    ref = rng.normal(size=(4096, 3)).astype(np.float32) * 5
+    q = rng.normal(size=(512, 3)).astype(np.float32) * 5
+    d2, idx = pallas_nn.nn_indices(jnp.asarray(q), jnp.asarray(ref),
+                                   interpret=True)
+    bi, bd2 = nb.nn_brute(jnp.asarray(q), jnp.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(bi))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(bd2), atol=1e-3)

@@ -97,6 +97,68 @@ def test_image_pca_normals_plane(rng):
     assert np.mean(nz > 0.98) > 0.85, np.mean(nz > 0.98)
 
 
+def test_image_pca_vs_knn_accuracy(rng):
+    """Quantify the accuracy delta behind the 'auto' normal default.
+
+    On a dense (16k-point) scan of true surfaces (ground plane + cylinder
+    wall — unlike lidar_scene's volumetric shell, where normals are
+    ill-defined for ANY estimator) the range-image PCA normals must agree
+    with the kNN PCA reference closely enough that the ICP solutions they
+    produce differ by millimeters.
+    """
+    n = 16384
+    half = n // 2
+    az_g = rng.uniform(-np.pi, np.pi, half)
+    r_g = rng.uniform(3, 18, half)
+    ground = np.stack([r_g * np.cos(az_g), r_g * np.sin(az_g),
+                       np.full(half, -1.5)], 1)
+    az_w = rng.uniform(-np.pi, np.pi, n - half)
+    z_w = rng.uniform(-1.5, 3.0, n - half)
+    wall = np.stack([20.0 * np.cos(az_w), 20.0 * np.sin(az_w), z_w], 1)
+    pts = np.concatenate([ground, wall]).astype(np.float32)
+    ref = pc.make_cloud(pts, capacity=16384)
+    n_knn = pc.estimate_normals(ref, knn=10)
+    n_img = ri.range_image_pca_normals(ref, rows=32, cols=512,
+                                       elev_min=-0.3, elev_max=0.3)
+    # Per-point angular agreement (sign-invariant).
+    cosang = np.abs(np.sum(np.asarray(n_knn) * np.asarray(n_img), axis=-1))
+    median_deg = float(np.degrees(np.arccos(np.clip(
+        np.median(cosang), -1, 1))))
+    assert median_deg < 10.0, median_deg
+
+    # ICP end metric: both normal sets must yield the same registration.
+    T_true = se3.exp(jnp.asarray([0.005, -0.01, 0.02, 0.2, -0.1, 0.05],
+                                 jnp.float32))
+    reading = pc.transform(se3.inverse(T_true), ref)
+    cfg = IcpConfig(matcher='brute', reading_capacity=4096,
+                    reading_sampling_ratio=0.25)
+    res_knn = icp_mod.icp(reading, ref, n_knn, se3.identity(), cfg)
+    res_img = icp_mod.icp(reading, ref, n_img, se3.identity(), cfg)
+    d = np.linalg.norm(np.asarray(se3.translation(res_knn.T) -
+                                  se3.translation(res_img.T)))
+    assert d < 5e-3, d
+    ang = float(se3.rotation_angle(res_knn.T, res_img.T))
+    assert ang < 2e-3, ang
+
+
+def test_compute_normals_auto_dispatch(rng):
+    """'auto' picks image_pca for dense scans, knn for small ones."""
+    cfg = IcpConfig(normal_method='auto', normal_image_rows=32,
+                    normal_image_cols=512,
+                    range_image_elev_min=-0.3, range_image_elev_max=0.3)
+    small = pc.make_cloud(lidar_scene(rng, n=1024), capacity=1024)
+    got = ri.compute_normals(small, cfg)
+    want = pc.estimate_normals(small, knn=cfg.normal_knn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    dense = pc.make_cloud(lidar_scene(rng, n=8192), capacity=8192)
+    got_d = ri.compute_normals(dense, cfg)
+    want_d = ri.range_image_pca_normals(
+        dense, rows=32, cols=512, elev_min=-0.3, elev_max=0.3)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               atol=1e-6)
+
+
 def test_icp_with_image_pca_normals(rng):
     pts = lidar_scene(rng, n=4096)
     ref = pc.make_cloud(pts, capacity=4096)

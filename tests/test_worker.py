@@ -182,3 +182,39 @@ def test_point_cloud_of_time_interval(rng):
     assert int(c.count()) > 0
     c_none = track.get_point_cloud_of_time_interval(int(1e15), int(2e15))
     assert int(c_none.count()) == 0
+
+
+def test_per_scan_covariance_updates(rng):
+    """update_covariances wires appendCovariances per estimate
+    (laser_track.cpp:421-429, declared-but-dead in the reference;
+    opt-in live path here).  Covariances must be SPD-ish and grow with
+    distance from the gauge prior."""
+    est_cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            use_icp_factors=False, nscan_in_sub_map=3,
+            update_covariances=True,
+            input_filters=InputFilterConfig(scan_capacity=1024),
+            icp=IcpConfig(reading_capacity=512, matcher='brute')),
+        solver=SolverConfig(gn_iterations=2, pcg_iterations=40,
+                            pose_capacity=64, factor_capacity=256))
+    worker_cfg = WorkerConfig(minimum_distance_to_add_pose=0.0,
+                              create_filtered_map=False,
+                              local_map_capacity=1 << 12)
+    est = IncrementalEstimator(est_cfg, 1)
+    worker = LaserSlamWorker(worker_cfg, est, 0)
+    frames = list(replay.SyntheticStream(
+        n_scans=5, points_per_scan=1024, trajectory='line', step_m=0.6,
+        odom_noise=0.01, seed=21))
+    replay.run_worker_on_stream(worker, frames)
+    covs = worker.laser_track.get_covariances()
+    # One covariance per solve, the prior registration included; the
+    # first key is gauge-pinned so its marginal is ~0.
+    assert len(covs) == 5
+    for c in covs:
+        assert c.shape == (6, 6)
+        np.testing.assert_allclose(c, c.T, atol=1e-6)
+        assert np.all(np.linalg.eigvalsh(c) > -1e-8)
+    assert np.trace(covs[0]) < 1e-6
+    # Uncertainty accumulates along the odometry chain away from the
+    # prior: the newest pose's covariance dominates the second's.
+    assert np.trace(covs[-1]) > np.trace(covs[1])

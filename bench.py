@@ -256,10 +256,9 @@ def main():
     extras['device'] = str(device)
 
     results = {}
-    for matcher in ('projective', 'pallas', 'brute', 'grid'):
+    for matcher in ('projective', 'pallas', 'brute'):
         cfg = IcpConfig(matcher=matcher, reading_capacity=READ_N,
                         reading_sampling_ratio=1.0,
-                        grid_cell_size_m=1.0, grid_cell_capacity=16,
                         max_correspondence_dist_m=3.0)
         solve = jax.jit(lambda rd, c=cfg: icp_mod.icp(
             rd, ref, normals, se3.identity(), c))

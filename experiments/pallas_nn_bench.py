@@ -22,11 +22,22 @@ import numpy as np
 
 
 def main():
+    import importlib.util
+    import os
+
     import jax
     jax.config.update('jax_compilation_cache_dir', '/tmp/jax_tpu_cache')
     import jax.numpy as jnp
     import laser_slam_tpu  # noqa: F401  (sets matmul precision)
     from laser_slam_tpu.ops import neighbors, pallas_nn
+
+    # Demoted payload kernels live beside this script, not in the package.
+    spec = importlib.util.spec_from_file_location(
+        'payload_variants',
+        os.path.join(os.path.dirname(__file__),
+                     'pallas_payload_variants.py'))
+    payload_variants = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(payload_variants)
 
     Q, R = 8192, 65536
     rng = np.random.default_rng(3)
@@ -42,51 +53,62 @@ def main():
     on_tpu = pallas_nn.on_tpu()
     print(f'backend={jax.default_backend()} device={jax.devices()[0]}')
 
-    def timed(name, fn, reps=20):
-        out = jax.block_until_ready(fn())  # compile
+    # Host<->device sync over the axon tunnel costs ~30 ms, swamping a
+    # single kernel call.  Amortize: K chained applications inside ONE
+    # jit (a data dependency through the carry defeats CSE/hoisting),
+    # one device sync per measurement.
+    K = 16
+
+    def timed(name, op, reps=8):
+        """op: q [Q,3] -> d2 [Q] (plus whatever else).  Times K chained
+        calls per sync; reports ms per single call."""
+        @jax.jit
+        def chained(q0):
+            def body(carry, _):
+                d2 = op(carry)
+                return carry + 0.0 * d2[:, None], d2
+            carry, d2s = jax.lax.scan(body, q0, None, length=K)
+            return d2s[-1]
+        out = jax.block_until_ready(chained(q))  # compile
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn())
-            times.append((time.perf_counter() - t0) * 1e3)
-        print(f'{name:10s} {np.median(times):8.3f} ms  '
+            out = jax.block_until_ready(chained(q))
+            times.append((time.perf_counter() - t0) * 1e3 / K)
+        print(f'{name:10s} {np.median(times):8.3f} ms/call  '
               f'(min {np.min(times):.3f})')
         return out, float(np.median(times))
 
-    brute = jax.jit(lambda: (lambda i_d: (payload[i_d[0]], i_d[1]))(
-        neighbors.nn_brute(q, r)))
-    (pay_b, d2_b), t_brute = timed('brute', brute)
+    interp = not on_tpu
+    d2_b, t_brute = timed('brute', lambda qq: (
+        lambda i_d: payload[i_d[0]][:, 0] * 0.0 + i_d[1])(
+            neighbors.nn_brute(qq, r)))
 
     results = {'brute': t_brute}
-    if on_tpu or True:  # interpret mode off-TPU is slow but correct
-        interp = not on_tpu
-        payload_fn = jax.jit(lambda: pallas_nn.nn_payload(
-            q, r, payload, interpret=interp))
-        (d2_p, pay_p), t_pay = timed('payload', payload_fn,
-                                     reps=20 if on_tpu else 1)
-        np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_b),
-                                   atol=1e-2)
-        results['payload'] = t_pay
 
-        pruned_fn = jax.jit(lambda: pallas_nn.nn_payload_pruned(
-            q, r, payload, interpret=interp))
-        (d2_r, pay_r), t_pr = timed('pruned', pruned_fn,
-                                    reps=20 if on_tpu else 1)
-        results['pruned'] = t_pr
+    d2_p, t_pay = timed('payload', lambda qq: (
+        lambda d_p: d_p[0] + 0.0 * d_p[1][:, 0])(
+            payload_variants.nn_payload(qq, r, payload, interpret=interp)))
+    np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_b),
+                               atol=1e-2)
+    results['payload'] = t_pay
 
-        idx_fn = jax.jit(lambda: (lambda d_i: (d_i[0], payload[d_i[1]]))(
-            pallas_nn.nn_indices(q, r, interpret=interp)))
-        (d2_i, pay_i), t_idx = timed('indices', idx_fn,
-                                     reps=20 if on_tpu else 1)
-        np.testing.assert_allclose(np.asarray(d2_i), np.asarray(d2_b),
-                                   atol=1e-2)
-        results['indices'] = t_idx
+    _, t_pr = timed('pruned', lambda qq: (
+        lambda d_p: d_p[0] + 0.0 * d_p[1][:, 0])(
+            payload_variants.nn_payload_pruned(qq, r, payload, interpret=interp)))
+    results['pruned'] = t_pr
 
-        # Kernel alone (no payload fetch) to isolate the gather cost.
-        kern_fn = jax.jit(lambda: pallas_nn.nn_indices(
-            q, r, interpret=interp))
-        _, t_kern = timed('idx-kernel', kern_fn, reps=20 if on_tpu else 1)
-        results['idx_kernel'] = t_kern
+    d2_i, t_idx = timed('indices', lambda qq: (
+        lambda d_i: d_i[0] + 0.0 * payload[d_i[1]][:, 0])(
+            pallas_nn.nn_indices(qq, r, interpret=interp)))
+    np.testing.assert_allclose(np.asarray(d2_i), np.asarray(d2_b),
+                               atol=1e-2)
+    results['indices'] = t_idx
+
+    # Kernel alone (no payload fetch) to isolate the gather cost.
+    _, t_kern = timed('idx-kernel', lambda qq: pallas_nn.nn_indices(
+        qq, r, interpret=interp)[0])
+    results['idx_kernel'] = t_kern
 
     best = min((v, k) for k, v in results.items() if k != 'brute')
     print(f'\nbest pallas: {best[1]} at {best[0]:.3f} ms '

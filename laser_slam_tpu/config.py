@@ -149,20 +149,11 @@ class IcpConfig:
     smooth_length: int = 4
     # Correspondence engine:
     #   'brute'      exact MXU-tiled NN (kd-tree parity)
-    #   'pallas'     exact NN via the fused Pallas payload kernel
-    #   'grid'       voxel-hash approximate NN
+    #   'pallas'     exact NN via the VPU-broadcast Pallas kernel
+    #                (~2x 'brute' at 8k x 64k, see ops/pallas_nn.py)
     #   'projective' spherical range-image association (LOAM/KISS-ICP
     #                style) — the fast path for LiDAR scan matching
     matcher: str = 'brute'
-    # 'pallas' matcher kernel variant: 'payload' returns [point|normal]
-    # straight from the kernel via a one-hot MXU select (no HBM gathers —
-    # row gathers cost ~5 ms for 2x8k rows on this part, dwarfing the
-    # 0.2 ms kernel); 'pruned' adds Morton+AABB tile skipping; 'indices'
-    # returns argmin indices + XLA gathers (the textbook layout; kept as
-    # the measured-slower fallback and for payloads too wide for VMEM).
-    pallas_variant: str = 'payload'
-    grid_cell_size_m: float = 1.0
-    grid_cell_capacity: int = 16
     max_correspondence_dist_m: float = 3.0
     range_image_rows: int = 64
     range_image_cols: int = 1024

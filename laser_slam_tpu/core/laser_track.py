@@ -93,13 +93,8 @@ def _scan_to_submap_icp(ring_points, ring_mask, ring_normals, ring_rel,
             reading, config.icp.reading_sampling_ratio, sample_key)
     reading = pc.compact(reading, config.icp.reading_capacity)
 
-    grid = None
-    if config.icp.matcher == 'grid':
-        from laser_slam_tpu.ops import neighbors as nb
-        grid = nb.build_grid(submap, config.icp.grid_cell_size_m,
-                             cell_capacity=config.icp.grid_cell_capacity)
     return icp_mod.icp_point_to_plane(reading, submap, submap_normals,
-                                      initial_guess, config.icp, grid)
+                                      initial_guess, config.icp)
 
 
 @functools.partial(jax.jit, static_argnames=('n_scans',))

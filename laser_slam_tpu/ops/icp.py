@@ -9,7 +9,7 @@ laser_slam/configurations/icp_default.yaml and invoked via
                                                      fixed reading budget
   reference filter  SamplingSurfaceNormal(knn=10) -> cloud.estimate_normals
   matcher           KDTreeMatcher(knn=1)          -> neighbors.nn_brute /
-                                                     neighbors.nn_grid
+                                                     pallas_nn.nn_indices
   outlier filter    TrimmedDist(ratio=0.75)       -> masked quantile trim
   minimizer         PointToPlane                  -> 6x6 Gauss-Newton step
   checkers          Counter(40) + Differential    -> lax.while_loop with a
@@ -116,7 +116,6 @@ def icp_point_to_plane(
         ref_normals: jax.Array,
         initial_guess: jax.Array,
         config: IcpConfig,
-        grid: Optional[nb.GridHash] = None,
         prebuilt_image=None,
 ) -> IcpResult:
     """Align ``reading`` to ``reference`` starting from ``initial_guess``.
@@ -124,19 +123,20 @@ def icp_point_to_plane(
     Mirrors ``icp_.compute(reading, reference, T0)`` (laser_track.cpp:496).
     ``ref_normals`` are per-reference-point unit normals in the reference
     frame (precompute with :func:`cloud.estimate_normals`).  The matcher
-    comes from ``config.matcher``; ``grid`` supplies a prebuilt voxel hash
-    for the 'grid' matcher and ``prebuilt_image`` a prebuilt
+    comes from ``config.matcher``; ``prebuilt_image`` supplies a prebuilt
     :class:`range_image.RangeImage` for 'projective' (hoist it when many
-    readings register against one shared reference).
+    readings register against one shared reference).  (A voxel-hash
+    'grid' tier existed through round 2; it measured slower than exact
+    brute and was deleted — experiments/grid_matcher.py.)
     """
-    if config.matcher not in ('brute', 'pallas', 'grid', 'projective'):
+    if config.matcher not in ('brute', 'pallas', 'projective'):
         raise ValueError(f'unknown ICP matcher {config.matcher!r}; expected '
-                         "'brute', 'pallas', 'grid' or 'projective'")
+                         "'brute', 'pallas' or 'projective'")
     max_corr2 = config.max_correspondence_dist_m ** 2
     smooth = config.smooth_length
 
-    # Reference points with a sentinel row so gathers of the grid matcher's
-    # miss index (== capacity) are well-defined.
+    # Reference points with a sentinel row so a miss index (== capacity)
+    # gathers a well-defined dead row.
     ref_ext_pts = jnp.concatenate(
         [reference.points,
          jnp.full((1, 3), 0.0, reference.points.dtype)], axis=0)
@@ -145,7 +145,7 @@ def icp_point_to_plane(
     ref_ext_mask = jnp.concatenate(
         [reference.mask, jnp.zeros((1,), bool)], axis=0)
 
-    if config.matcher == 'projective' and grid is None:
+    if config.matcher == 'projective':
         from laser_slam_tpu.ops import range_image as ri
         if prebuilt_image is not None:
             image = prebuilt_image
@@ -160,37 +160,21 @@ def icp_point_to_plane(
         def match_payload(p_world, msk):
             q, n, d2 = ri.nn_projective(p_world, image)
             return q, n, d2, msk
-    elif config.matcher == 'pallas' and grid is None:
+    elif config.matcher == 'pallas':
         from laser_slam_tpu.ops import pallas_nn
-        # Parked reference points carry huge |r|^2 scores and can never
-        # win, so no mask gather is needed.  Variant trade-offs are
-        # documented on IcpConfig.pallas_variant.
+        # VPU-broadcast exact-NN kernel (see ops/pallas_nn.py for the
+        # design + measured 2.1x over nn_brute).  Parked reference
+        # points carry huge distances and can never win, so no mask
+        # gather is needed; the winner's payload is one XLA gather.
         interpret = not pallas_nn.on_tpu()
-        if config.pallas_variant in ('payload', 'pruned'):
-            payload = jnp.concatenate([reference.points, ref_normals],
-                                      axis=1)
-            kern = (pallas_nn.nn_payload
-                    if config.pallas_variant == 'payload'
-                    else pallas_nn.nn_payload_pruned)
 
-            def match_payload(p_world, msk):
-                d2, pay = kern(p_world, reference.points, payload,
-                               interpret=interpret)
-                return pay[:, :3], pay[:, 3:6], d2, msk
-        elif config.pallas_variant == 'indices':
-            def match_payload(p_world, msk):
-                d2, idx = pallas_nn.nn_indices(p_world, reference.points,
-                                               interpret=interpret)
-                return ref_ext_pts[idx], ref_ext_normals[idx], d2, msk
-        else:
-            raise ValueError(
-                f'unknown pallas_variant {config.pallas_variant!r}')
+        def match_payload(p_world, msk):
+            d2, idx = pallas_nn.nn_indices(p_world, reference.points,
+                                           interpret=interpret)
+            return ref_ext_pts[idx], ref_ext_normals[idx], d2, msk
     else:
         def match_payload(p_world, msk):
-            if grid is not None:
-                idx, d2 = nb.nn_grid(p_world, reference, grid)
-            else:
-                idx, d2 = nb.nn_brute(p_world, reference.points)
+            idx, d2 = nb.nn_brute(p_world, reference.points)
             idx = jnp.clip(idx, 0, reference.capacity)
             return (ref_ext_pts[idx], ref_ext_normals[idx], d2,
                     msk & ref_ext_mask[idx])
@@ -278,15 +262,9 @@ def icp_point_to_plane(
                      mean_error=mean_err, num_inliers=n_in)
 
 
-@partial(jax.jit, static_argnames=('config', 'use_grid'))
+@partial(jax.jit, static_argnames=('config',))
 def icp(reading: Cloud, reference: Cloud, ref_normals, initial_guess,
-        config: IcpConfig, use_grid: Optional[bool] = None) -> IcpResult:
+        config: IcpConfig) -> IcpResult:
     """Jitted entry point; picks the matcher from ``config.matcher``."""
-    if use_grid is None:
-        use_grid = config.matcher == 'grid'
-    grid = None
-    if use_grid:
-        grid = nb.build_grid(reference, config.grid_cell_size_m,
-                             cell_capacity=config.grid_cell_capacity)
     return icp_point_to_plane(reading, reference, ref_normals,
-                              initial_guess, config, grid)
+                              initial_guess, config)

@@ -7,25 +7,22 @@ engines replace them:
 * ``nn_brute``   — exact 1-NN via tiled squared-distance products that ride
                    the MXU with an online running-min (flash-attention
                    style).  Exact parity with a kd-tree.
-* ``GridHash``   — voxel-hash bucketed search: the reference cloud is
-                   hashed once into fixed-capacity cells; each query
-                   gathers candidates from its 3x3x3 cell neighborhood.
-                   Approximate (exact up to the cell radius), much cheaper
-                   for large submaps.
+* ``knn_brute``  — exact k-NN for normal estimation.
+* the Pallas VPU kernel in ``ops/pallas_nn.py`` — the faster exact tier
+  for large references (a voxel-hash approximate tier was measured
+  slower than exact brute and deleted; see experiments/grid_matcher.py).
 
-Both return ``(indices[Q], sq_dists[Q])`` of the nearest reference point
-per query.  Invalid reference points are parked at ``cloud.SENTINEL`` so
+All return indices + squared distances of nearest reference points per
+query.  Invalid reference points are parked at ``cloud.SENTINEL`` so
 they never win.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
-from laser_slam_tpu.ops.cloud import Cloud, SENTINEL, _hash_cells
+from laser_slam_tpu.ops.cloud import SENTINEL  # noqa: F401  (re-export)
 
 
 def _pick_tile(n: int, preferred: int) -> int:
@@ -96,74 +93,3 @@ def knn_brute(queries: jax.Array, ref_points: jax.Array, k: int,
     q_tiles = queries.reshape(q_n // q_tile, q_tile, 3)
     idx, d2 = jax.lax.map(one_tile, q_tiles)
     return idx.reshape(q_n, k), d2.reshape(q_n, k)
-
-
-class GridHash(NamedTuple):
-    """Voxel-hash index over a fixed-capacity reference cloud.
-
-    cell_of_slot: [C, cap] int32 — point indices bucketed per hash cell
-    (padded with ``ref_capacity`` = index of a sentinel point).
-    """
-    slots: jax.Array          # [n_cells, cell_capacity] int32 point indices
-    cell_size: jax.Array      # scalar f32
-    n_cells: int
-    ref_capacity: int
-
-
-def build_grid(ref: Cloud, cell_size_m: float, n_cells: int = 1 << 14,
-               cell_capacity: int = 16) -> GridHash:
-    """Hash reference points into voxel cells (built once per reference).
-
-    Collisions beyond ``cell_capacity`` are dropped (acceptable for NN under
-    trimmed-outlier ICP).  Cost: one sort over the reference — O(N log N)
-    on-device, amortized over all ICP iterations.
-    """
-    n = ref.capacity
-    cell = jnp.floor(ref.points / cell_size_m).astype(jnp.int32)
-    h = _hash_cells(cell, n_cells)
-    h = jnp.where(ref.mask, h, n_cells)  # invalid points -> overflow cell
-
-    # Stable sort by cell id; rank within cell = position - cell start.
-    order = jnp.argsort(h, stable=True)
-    h_sorted = h[order]
-    # For each sorted position, its rank within its run of equal cells.
-    first_of_cell = jnp.searchsorted(h_sorted, jnp.arange(n_cells + 1))
-    rank = jnp.arange(n) - first_of_cell[jnp.clip(h_sorted, 0, n_cells)]
-    keep = (rank < cell_capacity) & (h_sorted < n_cells)
-    # Non-kept entries write out of bounds and are dropped by the scatter.
-    flat = jnp.where(keep, h_sorted * cell_capacity + rank,
-                     n_cells * cell_capacity)
-    slots = jnp.full((n_cells * cell_capacity,), n, jnp.int32)
-    slots = slots.at[flat].set(order.astype(jnp.int32), mode='drop')
-    return GridHash(slots.reshape(n_cells, cell_capacity),
-                    jnp.float32(cell_size_m), n_cells, n)
-
-
-_NEIGHBOR_OFFSETS = jnp.stack(jnp.meshgrid(
-    jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
-    indexing='ij'), axis=-1).reshape(27, 3)
-
-
-def nn_grid(queries: jax.Array, ref: Cloud, grid: GridHash):
-    """Approximate 1-NN via the 27-cell neighborhood of each query.
-
-    Exact whenever the true neighbor lies within one cell size of the
-    query.  Queries with no candidate in range return the sentinel index
-    ``ref.capacity`` with +inf distance (callers mask on distance).
-    """
-    # Reference points with a sentinel row appended so gathers of empty
-    # slots are well-defined and lose every distance comparison.
-    ref_ext = jnp.concatenate(
-        [ref.points, jnp.full((1, 3), SENTINEL, ref.points.dtype)], axis=0)
-
-    cell = jnp.floor(queries / grid.cell_size).astype(jnp.int32)
-    # [Q, 27] neighbor cell hashes
-    neigh_cells = cell[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]
-    h = _hash_cells(neigh_cells, grid.n_cells)          # [Q, 27]
-    cand = grid.slots[h].reshape(queries.shape[0], -1)  # [Q, 27*cap]
-    cand_pts = ref_ext[cand]                            # [Q, 27*cap, 3]
-    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
-    best = jnp.argmin(d2, axis=-1)
-    idx = jnp.take_along_axis(cand, best[:, None], axis=-1)[:, 0]
-    dist = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
-    return idx, dist

@@ -31,7 +31,7 @@ def synthetic_scene(rng, n=1024):
     return pts
 
 
-@pytest.mark.parametrize('matcher', ['brute', 'grid'])
+@pytest.mark.parametrize('matcher', ['brute', 'pallas'])
 def test_icp_recovers_transform(rng, matcher):
     pts = synthetic_scene(rng)
     ref = pc.make_cloud(pts, capacity=1024)
@@ -43,8 +43,7 @@ def test_icp_recovers_transform(rng, matcher):
     # reading = T_true^-1 applied to ref, so aligning reading->ref recovers T_true
     reading = pc.transform(se3.inverse(T_true), ref)
 
-    config = IcpConfig(matcher=matcher, grid_cell_size_m=1.0,
-                       grid_cell_capacity=32,
+    config = IcpConfig(matcher=matcher,
                        max_correspondence_dist_m=3.0)
     result = icp_mod.icp(reading, ref, normals, se3.identity(), config)
 

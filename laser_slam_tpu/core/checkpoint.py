@@ -112,6 +112,9 @@ def load_online_checkpoint(path: str, config, map_config=None):
     assert int(z['online_format_version']) == 1
     runner = online.OnlineRunner.__new__(online.OnlineRunner)
     runner.config = config
+    runner.prefetch_growth_compile = True
+    runner._prefetch_thread = None
+    runner._prefetched = set()
     runner.n_tracks = int(z['n_tracks'])
     runner.use_odometry = (bool(z['use_odometry'])
                            if 'use_odometry' in z else True)

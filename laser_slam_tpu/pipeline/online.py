@@ -598,6 +598,10 @@ class OnlineRunner:
         # Host mirror of the device factor counter (2 per normal scan,
         # 1 per loop closure) for capacity guarding.
         self._n_rel_host = 0
+        # Background growth-precompile (see _maybe_prefetch_growth).
+        self.prefetch_growth_compile = True
+        self._prefetch_thread = None
+        self._prefetched: set = set()
 
     def _ensure_capacity(self, new_poses: int = 0, new_rels: int = 0,
                          new_priors: int = 0) -> None:
@@ -619,10 +623,73 @@ class OnlineRunner:
             kw['prior_capacity'] = max(R * 2,
                                        self._n_priors_seen + new_priors)
         if kw:
+            if self._prefetch_thread is not None:
+                # A background precompile may be mid-flight for exactly
+                # these shapes; let it finish so the step below is a
+                # cache hit instead of a duplicate concurrent compile.
+                self._prefetch_thread.join()
+                self._prefetch_thread = None
             self.state = grow_state(self.state, **kw)
             if self.archive is not None and 'pose_capacity' in kw:
                 self.archive = grow_archive(self.archive,
                                             kw['pose_capacity'])
+
+    def _maybe_prefetch_growth(self) -> None:
+        """Warm the jit cache for the NEXT capacity bucket in a background
+        thread once occupancy crosses 50%.
+
+        Growing re-buckets the state to new shapes, and the next
+        ``online_step`` pays a full XLA recompile — ~10 s over this
+        deployment's remote-compile tunnel, a visible stall in a live
+        stream.  Tracing/compiling is thread-safe and releases the GIL
+        inside XLA, so a background dummy step at the grown shapes
+        overlaps the compile with real scan processing; by the time
+        growth actually happens the executable is cached.  (Threads are
+        fine here — the one-process-per-TPU rule is about processes.)
+
+        Only pays off when half a bucket's worth of scans takes longer
+        than one compile (e.g. >= ~2048 poses at ~11 ms/scan vs ~10 s
+        compiles): smaller buckets grow before the background compile
+        finishes and the growth path simply joins it (measured: no gain
+        but no harm in the 64->512 soak).  The thread is non-daemon on
+        purpose — a daemon thread torn down mid-XLA-compile aborts the
+        interpreter (observed: 'terminate called after throwing' at
+        exit); Python joins non-daemon threads cleanly instead.
+        """
+        if not self.prefetch_growth_compile:
+            return
+        if (self._prefetch_thread is not None
+                and self._prefetch_thread.is_alive()):
+            return
+        P = self.state.traj_poses.shape[0]
+        F = self.state.rel_meas.shape[0]
+        P2 = P * 2 if len(self.key_info) >= P // 2 else P
+        F2 = F * 2 if self._n_rel_host >= F // 2 else F
+        if (P2, F2) == (P, F) or (P2, F2) in self._prefetched:
+            return
+        self._prefetched.add((P2, F2))
+        import threading
+
+        cfg = self.config
+        R = self.state.prior_meas.shape[0]
+        scan_cap, n_tracks = self.scan_cap, self.n_tracks
+        odometry_free = not self.use_odometry
+
+        def work():
+            try:
+                dummy = init_state(cfg, P2, F2, prior_capacity=R,
+                                   n_tracks=n_tracks)
+                pts = jnp.full((scan_cap, 3), pc.SENTINEL, jnp.float32)
+                s2, _ = online_step(dummy, pts, jnp.int32(0),
+                                    jnp.asarray(se3.identity()), cfg,
+                                    jnp.int32(0),
+                                    odometry_free=odometry_free)
+                jax.block_until_ready(s2.traj_poses)
+            except Exception:
+                pass  # best-effort: growth falls back to a foreground compile
+
+        self._prefetch_thread = threading.Thread(target=work, daemon=False)
+        self._prefetch_thread.start()
 
     def process_scan(self, time_ns: int, points: np.ndarray,
                      odom_pose7: Optional[np.ndarray] = None,
@@ -671,6 +738,7 @@ class OnlineRunner:
                 self._prior_slot_of_track[track_id] = self._n_priors_seen
             self._n_priors_seen += 1
             self._linked_groups.append([track_id])
+        self._maybe_prefetch_growth()
         return True
 
     def add_loop_closure(self, key_a: int, key_b: int,

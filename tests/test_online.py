@@ -378,3 +378,28 @@ def test_device_map_accumulate_filter_rigidify(rng):
     np.testing.assert_allclose(after - before,
                                np.tile([2.0, 0, 0], (len(before), 1)),
                                atol=1e-4)
+
+
+def test_growth_prefetch_compile_transparent(rng):
+    """The background growth-precompile warms the jit cache only: with it
+    on or off, the grown-state trajectories must be IDENTICAL, and the
+    prefetch must actually have fired past 50% occupancy."""
+    cfg = make_config()
+    frames = list(replay.SyntheticStream(
+        n_scans=10, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, odom_noise=0.005, seed=33))
+
+    runner_on = online.OnlineRunner(cfg, pose_capacity=8, factor_capacity=16)
+    runner_off = online.OnlineRunner(cfg, pose_capacity=8, factor_capacity=16)
+    runner_off.prefetch_growth_compile = False
+    for f in frames:
+        runner_on.process_scan(f.time_ns, f.points, f.odom_pose7)
+        runner_off.process_scan(f.time_ns, f.points, f.odom_pose7)
+    assert runner_on._prefetched, 'prefetch never fired'
+    if runner_on._prefetch_thread is not None:
+        runner_on._prefetch_thread.join()
+    assert not runner_off._prefetched
+    np.testing.assert_array_equal(
+        np.asarray(runner_on.state.traj_poses),
+        np.asarray(runner_off.state.traj_poses))
+    assert runner_on.state.traj_poses.shape[0] >= 10

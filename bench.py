@@ -386,7 +386,7 @@ def main():
     runner = online.OnlineRunner(e2e_cfg, pose_capacity=2048,
                                  factor_capacity=8192)
     frames = list(replay.SyntheticStream(
-        n_scans=40, points_per_scan=16384, trajectory='circle',
+        n_scans=128, points_per_scan=16384, trajectory='circle',
         radius_m=20.0, noise_m=0.01, odom_noise=0.005, seed=5))
     for f in frames[:8]:   # warm-up/compile
         runner.process_scan(f.time_ns, f.points, f.odom_pose7)

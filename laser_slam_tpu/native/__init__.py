@@ -24,16 +24,25 @@ def _try_load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(['make', '-C', _DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always invoke make: a no-op when the .so is current, a rebuild when
+    # io.cpp is newer (a stale library would miss newly added symbols).
+    try:
+        subprocess.run(['make', '-C', _DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        _bind(lib)
+    except (OSError, AttributeError):
+        # Missing file, or a stale .so without a newer symbol.
         return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib) -> None:
     lib.decode_kitti_bin.restype = ctypes.c_long
     lib.decode_kitti_bin.argtypes = [ctypes.c_char_p,
                                      ctypes.POINTER(ctypes.c_float),
@@ -54,8 +63,11 @@ def _try_load():
                                 ctypes.POINTER(ctypes.c_long)]
     lib.loader_close.restype = None
     lib.loader_close.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return lib
+    lib.decode_velodyne_packets.restype = ctypes.c_long
+    lib.decode_velodyne_packets.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long]
 
 
 HAVE_NATIVE = _try_load() is not None
@@ -143,3 +155,59 @@ class PrefetchLoader:
             self.close()
         except Exception:
             pass
+
+
+# Default VLP-16 elevation angles (degrees), firing order — the public
+# interleaved -15..+15 pattern from the VLP-16 manual.
+VLP16_ELEV_DEG = (-15.0, 1.0, -13.0, 3.0, -11.0, 5.0, -9.0, 7.0,
+                  -7.0, 9.0, -5.0, 11.0, -3.0, 13.0, -1.0, 15.0)
+
+
+def decode_velodyne_packets(raw: bytes,
+                            elev_deg: Sequence[float] = VLP16_ELEV_DEG,
+                            max_points: int = 200_000) -> np.ndarray:
+    """Decode raw 1206-byte Velodyne data packets to [N,3] xyz float32.
+
+    Re-owns the sensor front-end the reference delegates to the upstream
+    ROS velodyne driver (velodyne_assembler consumes its PointCloud2
+    output, velodyne_assembler_ros.cpp:57-75).  Packet layout: 12 blocks
+    of (0xEEFF flag, uint16 azimuth in 0.01 deg, 32 x (uint16 distance in
+    2 mm, uint8 intensity)); zero-distance returns are dropped.  Feed the
+    result per packet into ``pipeline.assembler.RevolutionAssembler``.
+    """
+    n_packets = len(raw) // 1206
+    if n_packets == 0:
+        return np.zeros((0, 3), np.float32)
+    elev = np.deg2rad(np.asarray(elev_deg, np.float32))
+    lib = _try_load()
+    if lib is not None:
+        data = np.frombuffer(raw, dtype=np.uint8, count=n_packets * 1206)
+        out = np.empty((max_points, 3), np.float32)
+        n = lib.decode_velodyne_packets(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_packets,
+            elev.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(elev),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_points)
+        return out[:n].copy()
+    # numpy fallback (same semantics)
+    data = np.frombuffer(raw, dtype=np.uint8,
+                         count=n_packets * 1206).reshape(n_packets, 1206)
+    blocks = data[:, :1200].reshape(n_packets * 12, 100)
+    flag = blocks[:, 0].astype(np.uint16) | (
+        blocks[:, 1].astype(np.uint16) << 8)
+    az = (blocks[:, 2].astype(np.uint32) |
+          (blocks[:, 3].astype(np.uint32) << 8)).astype(np.float32) * 0.01
+    az_rad = np.deg2rad(az)
+    rec = blocks[:, 4:100].reshape(-1, 32, 3)
+    dist = (rec[..., 0].astype(np.uint32) |
+            (rec[..., 1].astype(np.uint32) << 8)).astype(np.float32) * 0.002
+    ch = np.arange(32) % len(elev)
+    d = elev[ch][None, :]
+    r = dist
+    x = r * np.cos(d) * np.sin(az_rad)[:, None]
+    y = r * np.cos(d) * np.cos(az_rad)[:, None]
+    z = r * np.sin(d)
+    keep = (dist > 0) & (flag == 0xEEFF)[:, None]
+    pts = np.stack([x[keep], y[keep], z[keep]], axis=1).astype(np.float32)
+    return pts[:max_points]

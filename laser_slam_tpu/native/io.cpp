@@ -58,6 +58,61 @@ long decode_kitti_bin(const char* path, float* out_xyz, long max_points) {
 }
 
 // ---------------------------------------------------------------------------
+// Raw Velodyne data-packet decoder
+// ---------------------------------------------------------------------------
+//
+// The reference consumes PointCloud2 already decoded by the upstream ROS
+// velodyne driver; re-owning the sensor front-end means decoding the raw
+// 1206-byte UDP data packets here.  Standard layout (VLP-16/HDL-32 class):
+// 12 blocks, each { uint16 flag 0xEEFF, uint16 azimuth (0.01 deg, LE),
+// 32 x { uint16 distance (2 mm units), uint8 intensity } }, then a 6-byte
+// tail (timestamp + model) that this decoder ignores.
+//
+// Geometry per the Velodyne manuals: with elevation d and azimuth a,
+//   x = r * cos(d) * sin(a),  y = r * cos(d) * cos(a),  z = r * sin(d).
+// elev_rad has n_lasers entries in FIRING order; when n_lasers == 16 each
+// block holds two full firing sequences (channel k uses elev[k % 16]).
+// Zero-distance returns (no echo) are skipped.
+
+static const long kPacketBytes = 1206;
+static const long kBlocksPerPacket = 12;
+static const long kChannelsPerBlock = 32;
+
+long decode_velodyne_packets(const uint8_t* data, long n_packets,
+                             const float* elev_rad, long n_lasers,
+                             float* out_xyz, long max_points) {
+  long m = 0;
+  for (long p = 0; p < n_packets; ++p) {
+    const uint8_t* pkt = data + p * kPacketBytes;
+    for (long b = 0; b < kBlocksPerPacket; ++b) {
+      const uint8_t* blk = pkt + b * 100;
+      const uint16_t flag =
+          static_cast<uint16_t>(blk[0] | (blk[1] << 8));
+      if (flag != 0xEEFF) continue;  // malformed / padding block
+      const float az_deg =
+          static_cast<float>(blk[2] | (blk[3] << 8)) * 0.01f;
+      const float az = az_deg * 0.017453292519943295f;
+      const float sin_a = std::sin(az), cos_a = std::cos(az);
+      for (long c = 0; c < kChannelsPerBlock; ++c) {
+        const uint8_t* rec = blk + 4 + c * 3;
+        const uint16_t raw =
+            static_cast<uint16_t>(rec[0] | (rec[1] << 8));
+        if (raw == 0) continue;  // no return
+        if (m >= max_points) return m;
+        const float r = static_cast<float>(raw) * 0.002f;
+        const float d = elev_rad[c % n_lasers];
+        const float cos_d = std::cos(d);
+        out_xyz[3 * m + 0] = r * cos_d * sin_a;
+        out_xyz[3 * m + 1] = r * cos_d * cos_a;
+        out_xyz[3 * m + 2] = r * std::sin(d);
+        ++m;
+      }
+    }
+  }
+  return m;
+}
+
+// ---------------------------------------------------------------------------
 // Host-side voxel downsample (first-point-per-voxel, like ops/cloud.py)
 // ---------------------------------------------------------------------------
 

@@ -21,7 +21,7 @@ Measured (TPU v5e-1, 8192 queries x 65536 refs, f32, median of 8):
     XLA brute (neighbors.nn_brute)        6.94 ms
     MXU matmul kernel, highest precision  6.59 ms   (1.05x)
     MXU matmul kernel, 1-pass bf16        3.16 ms   (rank errors: 20 m^2)
-    VPU broadcast kernel (this file)      3.30 ms   (2.10x, exact)
+    VPU broadcast kernel (this file)      3.01 ms   (2.3x, exact; 256x4096 tiles)
 
 Fetching the 6-f32 payload row per winner with one XLA gather costs a
 further ~0.15 ms — which is why this returns *indices*: the earlier
@@ -45,10 +45,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# QB x RB f32 score tile lives in vregs/VMEM; 256 x 2048 (2 MB) measured
-# best on v5e (4096-lane tiles gained nothing, 1024 lost ~10%).
+# QB x RB f32 score tile lives in vregs/VMEM.  Sweep on v5e
+# (experiments/pallas_tile_sweep.py, 8k x 64k): 256x4096 3.01 ms,
+# 128x8192 3.08, 256x2048 3.41, 256x1024 4.62; single-tile overflows
+# VMEM.  Wider lane tiles amortize the per-tile argmin reduction.
 _QB = 256
-_RB = 2048
+_RB = 4096
 
 
 def _tile(n: int, preferred: int) -> int:

@@ -465,6 +465,28 @@ def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
     return state, info
 
 
+@functools.partial(jax.jit, static_argnames=('config',),
+                   donate_argnums=(0,))
+def online_solve(state: OnlineState, config: EstimatorConfig
+                 ) -> Tuple[OnlineState, jax.Array]:
+    """Re-run the full-graph solve on the current state — no new factors.
+
+    A large correction (e.g. a cross-track linking closure moving an
+    absorbed track ~100 m into the shared frame) is outside one solve's
+    Gauss-Newton trust region: translation converges but chain rotations
+    can retain degree-level error.  In live operation the next scans'
+    solves absorb it (the reference likewise leans on its 3x-per-scan
+    isam2 updates, incremental_estimator.cpp:156-159); for offline use or
+    end-of-run polishing, call this directly (OnlineRunner.refine).
+    Returns (state, final solve error).
+    """
+    pose_mask = jnp.arange(state.traj_poses.shape[0]) < state.n_poses
+    result = sv.solve(_graph_view(state), state.traj_poses, pose_mask,
+                      config.solver)
+    return state._replace(traj_poses=result.poses,
+                          last_error=result.error_final), result.error_final
+
+
 @functools.partial(jax.jit, static_argnames=('config', 'use_association'),
                    donate_argnums=(0,))
 def online_loop_closure(state: OnlineState, key_a: jax.Array,
@@ -634,6 +656,35 @@ class OnlineRunner:
                 self.archive = grow_archive(self.archive,
                                             kw['pose_capacity'])
 
+    def refine(self, iterations: int = 1,
+               gn_iterations: Optional[int] = None,
+               pcg_iterations: Optional[int] = None,
+               pcg_tolerance: Optional[float] = None) -> float:
+        """Extra full-graph solve passes (see :func:`online_solve`).
+
+        The optional overrides run a STRONGER solver than the per-scan
+        config without changing it — e.g. after a cross-track linking
+        closure (a ~100 m correction), ``refine(1, gn_iterations=6,
+        pcg_iterations=256, pcg_tolerance=1e-10)`` converges the linked
+        map to centimeters where the online 3x48 budget leaves meter-
+        level chain rotation error.  Returns the last solve's error.
+        """
+        cfg = self.config
+        if gn_iterations or pcg_iterations or pcg_tolerance:
+            import dataclasses
+            s = cfg.solver
+            s = dataclasses.replace(
+                s,
+                gn_iterations=gn_iterations or s.gn_iterations,
+                pcg_iterations=pcg_iterations or s.pcg_iterations,
+                pcg_tolerance=pcg_tolerance or s.pcg_tolerance)
+            cfg = dataclasses.replace(cfg, solver=s)
+        err = float('nan')
+        for _ in range(max(iterations, 1)):
+            self.state, e = online_solve(self.state, cfg)
+            err = float(e)
+        return err
+
     def _maybe_prefetch_growth(self) -> None:
         """Warm the jit cache for the NEXT capacity bucket in a background
         thread once occupancy crosses 50%.
@@ -694,6 +745,16 @@ class OnlineRunner:
     def process_scan(self, time_ns: int, points: np.ndarray,
                      odom_pose7: Optional[np.ndarray] = None,
                      track_id: int = 0) -> bool:
+        # Benchmarker topic parity with the host worker (C5); dispatch is
+        # async, so this measures HOST cost per scan, not device time —
+        # use bench.device_trace for kernels.
+        from laser_slam_tpu.core import benchmarker as _bench
+        with _bench.scoped_timer('online.process_scan'):
+            return self._process_scan(time_ns, points, odom_pose7, track_id)
+
+    def _process_scan(self, time_ns: int, points: np.ndarray,
+                      odom_pose7: Optional[np.ndarray] = None,
+                      track_id: int = 0) -> bool:
         if odom_pose7 is None:
             if self.use_odometry:
                 raise ValueError('odometry pose required when '

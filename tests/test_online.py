@@ -403,3 +403,23 @@ def test_growth_prefetch_compile_transparent(rng):
         np.asarray(runner_on.state.traj_poses),
         np.asarray(runner_off.state.traj_poses))
     assert runner_on.state.traj_poses.shape[0] >= 10
+
+
+def test_online_refine_solver_override(rng):
+    """refine() re-solves without adding factors; solver overrides apply
+    only to the polish call and the state error must not increase."""
+    cfg = make_config()
+    runner = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=64)
+    frames = list(replay.SyntheticStream(
+        n_scans=5, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, odom_noise=0.01, seed=51))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    n_rel_before = int(runner.state.n_rel)
+    e_before = float(runner.state.last_error)
+    e_after = runner.refine(1, gn_iterations=5, pcg_iterations=128,
+                            pcg_tolerance=1e-10)
+    assert int(runner.state.n_rel) == n_rel_before
+    assert e_after <= e_before + 1e-4, (e_before, e_after)
+    # The per-scan config object is untouched by the override.
+    assert runner.config.solver.gn_iterations == cfg.solver.gn_iterations

@@ -465,11 +465,12 @@ def main():
             nscan_in_sub_map=5,
             odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
             icp_noise_model=(0.005,) * 6,
-            input_filters=InputFilterConfig(scan_capacity=131072),
+            input_filters=InputFilterConfig(scan_capacity=131072,
+                                            store_capacity=32768),
             icp=IcpConfig(matcher='projective', reading_capacity=8192,
-                          reading_sampling_ratio=0.0625,
+                          reading_sampling_ratio=0.25,
                           normal_method='image_pca',
-                          normal_image_rows=64, normal_image_cols=2048,
+                          normal_image_rows=64, normal_image_cols=1024,
                           range_image_rows=64, range_image_cols=1024)),
         solver=SolverConfig(gn_iterations=3, pcg_iterations=32, window=64))
     runner_k = online.OnlineRunner(kitti_cfg, pose_capacity=2048,

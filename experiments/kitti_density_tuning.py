@@ -42,9 +42,9 @@ def main():
         solver_kw.update(icp_kw.pop('solver_kw', {}))
         lt_kw = icp_kw.pop('lt_kw', {})
         base_icp = dict(matcher='projective', reading_capacity=8192,
-                        reading_sampling_ratio=0.0625,
+                        reading_sampling_ratio=0.25,
                         normal_method='image_pca',
-                        normal_image_rows=64, normal_image_cols=2048,
+                        normal_image_rows=64, normal_image_cols=1024,
                         range_image_rows=64, range_image_cols=1024)
         base_icp.update(icp_kw)
         lt_base = dict(nscan_in_sub_map=5)
@@ -54,7 +54,8 @@ def main():
             laser_track=LaserTrackConfig(
                 odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
                 icp_noise_model=(0.005,) * 6,
-                input_filters=InputFilterConfig(scan_capacity=131072),
+                input_filters=InputFilterConfig(scan_capacity=131072,
+                                                store_capacity=32768),
                 icp=IcpConfig(**base_icp), **lt_kw),
             solver=SolverConfig(**solver_kw))
 

@@ -83,7 +83,15 @@ class InputFilterConfig:
     min_distance_m: float = 1.0          # drop self-hits near the sensor
     max_distance_m: float = 70.0         # drop far returns
     random_sampling_ratio: float = 1.0   # keep probability before padding
-    scan_capacity: int = 16384           # fixed point budget per stored scan
+    scan_capacity: int = 16384           # fixed point budget for RAW scans
+    # Post-filter storage budget (0 = scan_capacity).  TPU scatter/render
+    # cost scales with array SHAPE, not valid-point count, so compacting
+    # the filtered scan to a smaller fixed shape before ring storage cuts
+    # every downstream per-scan cost (submap range-image render, ring
+    # writes, normal z-buffers).  At KITTI density, scan_capacity=131072
+    # with store_capacity=32768 keeps a 4x-denser-than-reading submap
+    # while quartering the render scatter rows.
+    store_capacity: int = 0
     chain: tuple = ()                    # ordered (type, params) filters
     chain_file: str = ''                 # optional YAML list file
 

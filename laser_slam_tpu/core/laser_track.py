@@ -60,6 +60,9 @@ def _ingest_scan(points, n_valid, key, config: LaserTrackConfig):
         c = pc.range_filter(c, f.min_distance_m, f.max_distance_m)
         if f.random_sampling_ratio < 1.0:
             c = pc.random_sampling_filter(c, f.random_sampling_ratio, key)
+    store_cap = f.store_capacity or f.scan_capacity
+    if store_cap < c.points.shape[0]:
+        c = pc.compact(c, store_cap)
     from laser_slam_tpu.ops import range_image as ri
     normals = ri.compute_normals(c, config.icp)
     return c, normals

@@ -147,7 +147,7 @@ def init_state(config: EstimatorConfig, pose_capacity: int = 4096,
     # Submap = second-last scan + nscan_in_sub_map-1 earlier scans
     # (laser_track.cpp:476-486) -> the ring holds nscan_in_sub_map scans.
     K = max(lt.nscan_in_sub_map, 1)
-    N = lt.input_filters.scan_capacity
+    N = lt.input_filters.store_capacity or lt.input_filters.scan_capacity
     T = n_tracks
 
     def eye_rows(n):
@@ -261,6 +261,12 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
         if f.random_sampling_ratio < 1.0:
             scan = pc.random_sampling_filter(scan, f.random_sampling_ratio,
                                              sub1)
+    store_cap = f.store_capacity or f.scan_capacity
+    if store_cap < scan.points.shape[0]:
+        # Shape-level decimation (see InputFilterConfig.store_capacity):
+        # valid points pack first, so this keeps the filtered scan's
+        # spatial distribution while shrinking every downstream scatter.
+        scan = pc.compact(scan, store_cap)
     from laser_slam_tpu.ops import range_image as ri
     normals = ri.compute_normals(scan, lt.icp)
 

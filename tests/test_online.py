@@ -423,3 +423,32 @@ def test_online_refine_solver_override(rng):
     assert e_after <= e_before + 1e-4, (e_before, e_after)
     # The per-scan config object is untouched by the override.
     assert runner.config.solver.gn_iterations == cfg.solver.gn_iterations
+
+
+def test_store_capacity_decimates_ring(rng):
+    """store_capacity compacts filtered scans to a smaller fixed shape
+    before ring storage (shape-level decimation: scatter/render cost
+    scales with shape, not valid count) without losing tracking."""
+    base = make_config()
+    lt = base.laser_track
+    f = lt.input_filters
+    cfg = base.__class__(**{
+        **base.__dict__,
+        'laser_track': lt.__class__(**{
+            **lt.__dict__,
+            'input_filters': f.__class__(**{
+                **{k: getattr(f, k) for k in
+                   ('min_distance_m', 'max_distance_m',
+                    'random_sampling_ratio', 'chain', 'chain_file')},
+                'scan_capacity': 2048, 'store_capacity': 1024})})})
+    runner = online.OnlineRunner(cfg, pose_capacity=16, factor_capacity=64)
+    frames = list(replay.SyntheticStream(
+        n_scans=5, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, odom_noise=0.005, seed=61))
+    for f2 in frames:
+        runner.process_scan(f2.time_ns, f2.points, f2.odom_pose7)
+    assert runner.state.ring_points.shape[2] == 1024
+    traj = sorted(runner.trajectory().items())
+    errs = [np.linalg.norm(p[4:] - fr.gt_pose7[4:])
+            for (_, p), fr in zip(traj, frames)]
+    assert max(errs) < 0.1, errs

@@ -452,3 +452,25 @@ def test_store_capacity_decimates_ring(rng):
     errs = [np.linalg.norm(p[4:] - fr.gt_pose7[4:])
             for (_, p), fr in zip(traj, frames)]
     assert max(errs) < 0.1, errs
+
+
+def test_online_empty_scan_dropout(rng):
+    """Sensor dropout: an all-invalid scan must not corrupt state — ICP
+    reports invalid, the factor is weight-masked, and the pose falls back
+    to odometry propagation (the reference's ConvergenceError fallback,
+    laser_track.cpp:495-502)."""
+    cfg = make_config()
+    runner = online.OnlineRunner(cfg, pose_capacity=16, factor_capacity=64)
+    frames = list(replay.SyntheticStream(
+        n_scans=5, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, odom_noise=0.0, seed=71))
+    for i, f in enumerate(frames):
+        pts = (np.zeros((0, 3), np.float32) if i == 2 else f.points)
+        assert runner.process_scan(f.time_ns, pts, f.odom_pose7)
+    traj = sorted(runner.trajectory().items())
+    assert len(traj) == 5
+    # Noise-free odometry: even the dropout pose lands on ground truth.
+    errs = [np.linalg.norm(p[4:] - f.gt_pose7[4:])
+            for (_, p), f in zip(traj, frames)]
+    assert max(errs) < 0.15, errs
+    assert np.all(np.isfinite(np.asarray(runner.state.traj_poses)))

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -174,3 +176,33 @@ def test_assembler_feeds_slam_pipeline(rng):
         assert ok
     traj = runner.trajectory()
     assert len(traj) == len(assembled)
+
+
+def test_plot_trajectory_tool(tmp_path):
+    """tools/plot_trajectory.py renders trajectory + map to a PNG
+    (the rviz-equivalent offline view; run in-process, see the
+    laser_to_map test for why no subprocess)."""
+    import importlib.util as _ilu
+    mpl = pytest.importorskip('matplotlib')
+    mpl.use('Agg')
+    traj = os.path.join(tmp_path, 'traj.csv')
+    np.savetxt(traj, np.column_stack([
+        np.arange(5), np.linspace(0, 4, 5),
+        np.zeros(5), np.zeros(5)]), delimiter=',')
+    mp = os.path.join(tmp_path, 'map.xyz')
+    np.savetxt(mp, np.random.default_rng(0).uniform(-2, 2, (100, 3)))
+    out = os.path.join(tmp_path, 'view.png')
+    spec = _ilu.spec_from_file_location(
+        'plot_traj_tool', '/root/repo/tools/plot_trajectory.py')
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import sys as _sys
+    argv_save = _sys.argv
+    try:
+        _sys.argv = ['plot_trajectory.py', out, '--traj', traj,
+                     '--map', mp]
+        rc = mod.main()
+        assert rc in (0, None)
+    finally:
+        _sys.argv = argv_save
+    assert os.path.getsize(out) > 0

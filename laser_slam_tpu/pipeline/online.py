@@ -522,7 +522,13 @@ def _gather_submap(state: OnlineState, archive: ScanArchive,
     """Submap around a key from the archive, in ``frame_T_inv``'s frame
     (buildSubMapAroundTime, laser_track.cpp:602-651): the scans of the
     center key's track with keys within ``radius``, transformed by their
-    current pose estimates."""
+    current pose estimates.
+
+    Keys are GLOBAL across tracks, so with N interleaved tracks a key
+    radius of R yields ~R/N same-track scans (other tracks' keys inside
+    the window are masked out by the track check below).  Size
+    ``loop_closures_sub_maps_radius`` accordingly for multi-robot runs;
+    the reference's per-track time radius has no interleaving to skip."""
     A = archive.points.shape[0]
     ks = center_key + jnp.arange(-radius, radius + 1)
     ksc = jnp.clip(ks, 0, A - 1)

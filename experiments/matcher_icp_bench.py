@@ -2,6 +2,11 @@
 
 Same workload as bench.py's matcher loop, minus the CPU baseline — for
 fast iteration on the exact-NN tiers.  Run ALONE.
+
+NOTE: the ground+parallel-walls scene here leaves x unobservable for
+point-to-plane, which is fine for TIMING (identical work per matcher)
+but meaningless for accuracy — see experiments/icp_iteration_budget.py
+for an observable scene and the accuracy-vs-iterations data.
 """
 
 import time

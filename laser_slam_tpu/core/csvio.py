@@ -46,3 +46,33 @@ def time_value_map_to_matrix(values: Dict[int, float]) -> np.ndarray:
     for i, (t, v) in enumerate(sorted(values.items())):
         out[i] = (t, v)
     return out
+
+
+def write_trajectory_kitti(times_poses, path: str) -> None:
+    """KITTI odometry pose format: one row per pose, the 3x4 [R|t] of
+    T_world_sensor flattened row-major (12 floats, space-separated, no
+    timestamps).  Interoperates with standard odometry evaluators (evo,
+    kitti-devkit); the reference only exported its own CSV
+    (laser_slam_worker.cpp:551-603).
+
+    times_poses: iterable of (time_ns, pose7 [qw,qx,qy,qz,tx,ty,tz]),
+    written in iteration order (sort by time first for KITTI tools).
+    """
+    from laser_slam_tpu.ops import se3
+    import jax.numpy as jnp
+    rows = []
+    for _, p in times_poses:
+        T = np.asarray(se3.to_matrix(jnp.asarray(np.asarray(p, np.float32))))
+        rows.append(T[:3].reshape(-1))
+    np.savetxt(path, np.asarray(rows), fmt='%.9f')
+
+
+def write_trajectory_tum(times_poses, path: str) -> None:
+    """TUM trajectory format: ``timestamp tx ty tz qx qy qz qw`` per row
+    (timestamp in seconds).  Note the quaternion is xyzw-LAST, unlike
+    this repo's wxyz-first pose7 convention."""
+    rows = []
+    for t_ns, p in times_poses:
+        p = np.asarray(p, np.float64)
+        rows.append([t_ns * 1e-9, p[4], p[5], p[6], p[1], p[2], p[3], p[0]])
+    np.savetxt(path, np.asarray(rows), fmt='%.9f')

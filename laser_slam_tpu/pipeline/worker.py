@@ -327,6 +327,19 @@ class LaserSlamWorker:
         laser_slam_worker.cpp:551-565)."""
         self.laser_track.trajectory.save_csv(path)
 
+    def export_trajectory_kitti(self, path: str):
+        """KITTI odometry pose format (12-float [R|t] rows) for standard
+        evaluators — csvio.write_trajectory_kitti."""
+        from laser_slam_tpu.core import csvio
+        csvio.write_trajectory_kitti(sorted(self.get_trajectory().items()),
+                                     path)
+
+    def export_trajectory_tum(self, path: str):
+        """TUM format (t tx ty tz qx qy qz qw) — csvio.write_trajectory_tum."""
+        from laser_slam_tpu.core import csvio
+        csvio.write_trajectory_tum(sorted(self.get_trajectory().items()),
+                                   path)
+
     def export_trajectory_head(self, head_duration_ns: Time, path: str):
         """(exportTrajectoryHead, laser_slam_worker.cpp:567-596)."""
         traj = sorted(self.get_trajectory().items())

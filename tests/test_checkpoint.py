@@ -213,3 +213,36 @@ def test_relpose_epoch_ns_times_roundtrip(tmp_path):
     assert (back.key_a, back.key_b) == (4, 5)
     assert (back.track_id_a, back.track_id_b) == (0, 1)
     np.testing.assert_allclose(back.T_a_b, rel.T_a_b)
+
+
+def test_trajectory_export_kitti_tum_formats(tmp_path):
+    """KITTI (12-float [R|t] rows) and TUM (t xyz qxyzw) exporters
+    round-trip pose values exactly."""
+    from laser_slam_tpu.core import csvio
+    from laser_slam_tpu.ops import se3
+    import jax.numpy as jnp
+    rng2 = np.random.default_rng(5)
+    tp = []
+    for i in range(4):
+        xi = rng2.normal(0, 0.4, 6).astype(np.float32)
+        tp.append((int(1e9 * i), np.asarray(se3.exp(jnp.asarray(xi)))))
+
+    kitti = os.path.join(tmp_path, 'poses_kitti.txt')
+    csvio.write_trajectory_kitti(tp, kitti)
+    rows = np.loadtxt(kitti).reshape(-1, 3, 4)
+    assert rows.shape[0] == 4
+    for (_, p), R_t in zip(tp, rows):
+        T = np.asarray(se3.to_matrix(jnp.asarray(p)))
+        np.testing.assert_allclose(R_t, T[:3], atol=1e-6)
+        # Rotation block orthonormal
+        np.testing.assert_allclose(R_t[:, :3] @ R_t[:, :3].T, np.eye(3),
+                                   atol=1e-5)
+
+    tum = os.path.join(tmp_path, 'poses_tum.txt')
+    csvio.write_trajectory_tum(tp, tum)
+    rows = np.loadtxt(tum)
+    for (t_ns, p), r in zip(tp, rows):
+        assert abs(r[0] - t_ns * 1e-9) < 1e-9
+        np.testing.assert_allclose(r[1:4], p[4:], atol=1e-6)
+        np.testing.assert_allclose(r[4:8], [p[1], p[2], p[3], p[0]],
+                                   atol=1e-6)

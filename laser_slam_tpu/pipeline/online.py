@@ -668,6 +668,19 @@ class OnlineRunner:
                 self.archive = grow_archive(self.archive,
                                             kw['pose_capacity'])
 
+    def marginal_covariances(self, keys) -> np.ndarray:
+        """Per-key 6x6 marginal covariances of the current device graph
+        (PCG probes, solver.marginal_covariance) — online counterpart of
+        IncrementalEstimator.marginal_covariances.  keys: sequence of
+        global pose keys -> [K,6,6] numpy."""
+        pose_mask = np.arange(self.state.traj_poses.shape[0]) < int(
+            self.state.n_poses)
+        covs = sv.marginal_covariance(
+            _graph_view(self.state), self.state.traj_poses,
+            jnp.asarray(pose_mask),
+            jnp.asarray(np.asarray(keys, np.int32)), self.config.solver)
+        return np.asarray(covs)
+
     def refine(self, iterations: int = 1,
                gn_iterations: Optional[int] = None,
                pcg_iterations: Optional[int] = None,

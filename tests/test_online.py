@@ -474,3 +474,23 @@ def test_online_empty_scan_dropout(rng):
             for (_, p), f in zip(traj, frames)]
     assert max(errs) < 0.15, errs
     assert np.all(np.isfinite(np.asarray(runner.state.traj_poses)))
+
+
+def test_online_marginal_covariances(rng):
+    """Online-path covariance query mirrors the host estimator's:
+    SPD 6x6 blocks, uncertainty growing away from the gauge prior."""
+    cfg = make_config()
+    runner = online.OnlineRunner(cfg, pose_capacity=16, factor_capacity=64)
+    frames = list(replay.SyntheticStream(
+        n_scans=5, points_per_scan=2048, trajectory='line', step_m=0.6,
+        noise_m=0.005, odom_noise=0.01, seed=81))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    covs = runner.marginal_covariances([0, 2, 4])
+    assert covs.shape == (3, 6, 6)
+    for c in covs:
+        np.testing.assert_allclose(c, c.T, atol=1e-6)
+        assert np.all(np.linalg.eigvalsh(c) > -1e-8)
+    assert np.trace(covs[0]) < 1e-6          # gauge-pinned first key
+    assert np.trace(covs[2]) > np.trace(covs[0])
+    assert np.trace(covs[1]) > 0

@@ -223,13 +223,30 @@ class SolverConfig:
     # Sliding optimization window (0 = full graph): only the most recent
     # `window` poses stay free per incremental solve; older poses are
     # frozen anchors (O(window) per-step cost — loop closures trigger a
-    # full solve regardless).
+    # full solve regardless).  The online fast path solves the window as a
+    # COMPACT gathered subproblem with the dense direct method (see
+    # ``method``) — per-scan solve cost is O(window^3) dense flops, not
+    # O(capacity) latency.
     window: int = 0
+    # Linear-system method per GN step:
+    #   'pcg'   preconditioned conjugate gradients (scales to any graph)
+    #   'dense' assemble the full [6N,6N] normal equations and Cholesky
+    #           them — EXACT and latency-optimal for small pose tables
+    #           (<= ~512 poses); the window fast path uses this.
+    method: str = 'pcg'
     # PCG preconditioner: 'tridiagonal' solves the Hessian's chain part
     # exactly per iteration (cyclic reduction, log N batched levels) —
     # essential for distributing loop-closure corrections across long
-    # trajectories; 'jacobi' is the cheap local alternative.
+    # trajectories; 'woodbury' extends it with an exact low-rank
+    # correction for up to ``offchain_capacity`` off-chain factors
+    # (loop closures) via the Woodbury identity — the preconditioner
+    # becomes a near-exact H^-1 and PCG converges in a handful of
+    # iterations; 'jacobi' is the cheap local alternative.
     preconditioner: str = 'tridiagonal'
+    # Max off-chain factors given exact low-rank treatment under the
+    # 'woodbury' preconditioner; excess off-chain factors fall back to
+    # the tridiagonal approximation (more PCG iterations, same answer).
+    offchain_capacity: int = 64
     pose_capacity: int = 1024            # initial key budget; doubles on overflow
     factor_capacity: int = 4096          # initial factor budget
     cauchy_k: float = 1.0                # mEstimator::Cauchy::Create(1)

@@ -91,10 +91,12 @@ def save_online_checkpoint(path: str, runner) -> None:
         for name, leaf in runner.archive._asdict().items():
             data['a_' + name] = np.asarray(leaf)
     if runner.mapper is not None:
-        for pre, m in (('ml_', runner.mapper.local),
-                       ('md_', runner.mapper.distant)):
-            for name, leaf in m._asdict().items():
-                data[pre + name] = np.asarray(leaf)
+        data['mapper_n_tracks'] = np.int64(runner.mapper.n_tracks)
+        for t in range(runner.mapper.n_tracks):
+            for pre, m in ((f'ml{t}_', runner.mapper.local_maps[t]),
+                           (f'md{t}_', runner.mapper.distant_maps[t])):
+                for name, leaf in m._asdict().items():
+                    data[pre + name] = np.asarray(leaf)
     np.savez_compressed(path, **data)
 
 
@@ -109,7 +111,11 @@ def load_online_checkpoint(path: str, config, map_config=None):
     import jax
     from laser_slam_tpu.pipeline import online
     z = np.load(path, allow_pickle=False)
-    assert int(z['online_format_version']) == 1
+    version = int(z['online_format_version'])
+    if version != 1:
+        raise ValueError(
+            f'unsupported online checkpoint format version {version} '
+            f'(this build reads version 1)')
     runner = online.OnlineRunner.__new__(online.OnlineRunner)
     runner.config = config
     runner.prefetch_growth_compile = True
@@ -120,19 +126,54 @@ def load_online_checkpoint(path: str, config, map_config=None):
                            if 'use_odometry' in z else True)
     runner.archive = None
     if 'a_points' in z:
-        runner.archive = online.ScanArchive(**{
-            name: jnp.asarray(z['a_' + name])
-            for name in online.ScanArchive._fields})
+        leaves = {}
+        for name in online.ScanArchive._fields:
+            if 'a_' + name in z:
+                leaves[name] = jnp.asarray(z['a_' + name])
+        if 'track_pos' not in leaves:
+            # Pre-per-track-index checkpoint: rebuild the track index from
+            # the archive's track column (keys were appended in ascending
+            # global order).
+            track = np.asarray(z['a_track'])
+            A = len(track)
+            T = int(z['n_tracks'])
+            tpos = np.zeros((A,), np.int32)
+            tkeys = np.full((T, A), -1, np.int32)
+            counts = np.zeros((T,), np.int32)
+            for k in range(A):
+                t = int(track[k])
+                if t < 0:
+                    continue
+                tpos[k] = counts[t]
+                tkeys[t, counts[t]] = k
+                counts[t] += 1
+            leaves['track_pos'] = jnp.asarray(tpos)
+            leaves['track_keys'] = jnp.asarray(tkeys)
+            leaves['track_count'] = jnp.asarray(counts)
+        runner.archive = online.ScanArchive(**leaves)
     runner.mapper = None
-    if 'ml_points' in z and map_config is not None:
+    has_maps = 'ml0_points' in z or 'ml_points' in z
+    if has_maps and map_config is None:
+        raise ValueError(
+            'checkpoint contains device-map state but map_config is None; '
+            'pass the run\'s WorkerConfig to restore the map (resuming '
+            'without it would silently continue with an empty map)')
+    if has_maps:
         from laser_slam_tpu.pipeline import device_map
-        runner.mapper = device_map.DeviceMapper(map_config)
-        runner.mapper.local = device_map.MapState(**{
-            name: jnp.asarray(z['ml_' + name])
-            for name in device_map.MapState._fields})
-        runner.mapper.distant = device_map.MapState(**{
-            name: jnp.asarray(z['md_' + name])
-            for name in device_map.MapState._fields})
+        n_map_tracks = int(z.get('mapper_n_tracks', 1))
+        runner.mapper = device_map.DeviceMapper(map_config,
+                                                n_tracks=n_map_tracks)
+        for t in range(n_map_tracks):
+            # 'ml_'/'md_' (no index) is the pre-per-track format; it maps
+            # onto track 0.
+            lp = f'ml{t}_' if f'ml{t}_points' in z else 'ml_'
+            dp = f'md{t}_' if f'md{t}_points' in z else 'md_'
+            runner.mapper.local_maps[t] = device_map.MapState(**{
+                name: jnp.asarray(z[lp + name])
+                for name in device_map.MapState._fields})
+            runner.mapper.distant_maps[t] = device_map.MapState(**{
+                name: jnp.asarray(z[dp + name])
+                for name in device_map.MapState._fields})
     runner.min_dist = float(z['min_dist'])
     runner.scan_cap = int(z['scan_cap'])
     runner._n_rel_host = int(z['n_rel_host'])
@@ -243,7 +284,11 @@ def load_checkpoint(path: str, config: Config,
     needed.
     """
     z = np.load(path, allow_pickle=False)
-    assert int(z['format_version']) == _FORMAT_VERSION
+    version = int(z['format_version'])
+    if version != _FORMAT_VERSION:
+        raise ValueError(
+            f'unsupported checkpoint format version {version} '
+            f'(this build reads version {_FORMAT_VERSION})')
     n_workers = int(z['n_workers'])
     est = IncrementalEstimator(config.estimator, n_workers)
 

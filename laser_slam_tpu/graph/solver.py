@@ -302,12 +302,23 @@ def _block_jacobi(lin: _LinearizedGraph, damping):
 # reduction — log2(N) levels of batched 6x6 algebra, each level halving
 # the system.  PCG then only has to correct for the off-chain factors.
 
-def _build_tridiag(lin: _LinearizedGraph, damping):
+def _chain_mask(lin: _LinearizedGraph):
+    """Factors whose coupling lands on the block-tridiagonal chain."""
+    return ((lin.keys[:, 1] == lin.keys[:, 0] + 1) &
+            (lin.free[lin.keys[:, 0]] > 0) & (lin.free[lin.keys[:, 1]] > 0))
+
+
+def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None):
     """Diagonal blocks B [N,6,6] and sub-diagonal blocks A [N,6,6]
-    (A[i] couples pose i to pose i-1) of the Hessian's chain part."""
+    (A[i] couples pose i to pose i-1) of the Hessian's chain part.
+
+    ``w_scale`` [F] optionally rescales each factor's weight in the BUILD
+    only (the Woodbury preconditioner zeroes its selected off-chain
+    factors here and re-adds them exactly as a low-rank term)."""
     n = lin.free.shape[0]
-    Ha = jnp.einsum('fji,fjk->fik', lin.Ja, lin.Ja * lin.w_rel[:, None, None])
-    Hb = jnp.einsum('fji,fjk->fik', lin.Jb, lin.Jb * lin.w_rel[:, None, None])
+    w = lin.w_rel if w_scale is None else lin.w_rel * w_scale
+    Ha = jnp.einsum('fji,fjk->fik', lin.Ja, lin.Ja * w[:, None, None])
+    Hb = jnp.einsum('fji,fjk->fik', lin.Jb, lin.Jb * w[:, None, None])
     B = jnp.zeros((n, 6, 6), Ha.dtype).at[lin.keys[:, 0]].add(Ha)
     B = B.at[lin.keys[:, 1]].add(Hb)
     Hp = jnp.einsum('pji,pjk->pik', lin.Jp, lin.Jp * lin.w_prior[:, None, None])
@@ -319,10 +330,9 @@ def _build_tridiag(lin: _LinearizedGraph, damping):
     # Chain coupling: factors with key_b == key_a + 1 contribute the
     # off-diagonal block H[b,a] = Jb^T W Ja.  Couplings touching frozen
     # poses are dropped (their rows/cols are identity).
-    chain = ((lin.keys[:, 1] == lin.keys[:, 0] + 1) &
-             (lin.free[lin.keys[:, 0]] > 0) & (lin.free[lin.keys[:, 1]] > 0))
+    chain = _chain_mask(lin)
     Hba = jnp.einsum('fji,fjk->fik', lin.Jb,
-                     lin.Ja * lin.w_rel[:, None, None])
+                     lin.Ja * w[:, None, None])
     A = jnp.zeros((n, 6, 6), Ha.dtype).at[
         jnp.where(chain, lin.keys[:, 1], n)].add(
         jnp.where(chain[:, None, None], Hba, 0.0), mode='drop')
@@ -382,33 +392,39 @@ def _tridiag_factor(B, A):
 
 
 def _tridiag_apply(factors, r):
-    """Solve T x = r given a cyclic-reduction factorization."""
+    """Solve T x = r given a cyclic-reduction factorization.
+
+    ``r`` may be [N,6] or [N,6,K] (K right-hand sides solved together —
+    the Woodbury preconditioner batches its low-rank columns this way)."""
     n0, levels, root_inv = factors
     n = 1
     while n < n0:
         n *= 2
     if n != n0:
-        r = jnp.concatenate([r, jnp.zeros((n - n0, 6), r.dtype)])
+        r = jnp.concatenate(
+            [r, jnp.zeros((n - n0,) + r.shape[1:], r.dtype)])
 
     ros = []
     for Bo_inv, Ao, Co, G_left, G_right in levels:
         re, ro = r[0::2], r[1::2]
         ros.append(ro)
-        roL = jnp.concatenate([jnp.zeros((1, 6), r.dtype), ro[:-1]])
-        r = (re - jnp.einsum('nij,nj->ni', G_left, roL)
-             - jnp.einsum('nij,nj->ni', G_right, ro))
+        roL = jnp.concatenate(
+            [jnp.zeros((1,) + ro.shape[1:], r.dtype), ro[:-1]])
+        r = (re - jnp.einsum('nij,nj...->ni...', G_left, roL)
+             - jnp.einsum('nij,nj...->ni...', G_right, ro))
 
-    x = jnp.einsum('nij,nj->ni', root_inv, r)
+    x = jnp.einsum('nij,nj...->ni...', root_inv, r)
 
     for (Bo_inv, Ao, Co, _, _), ro in zip(reversed(levels), reversed(ros)):
         # x holds the even positions; recover the odds:
         # x_odd[k] = Bo_inv[k] (ro[k] - Ao[k] x_even[k] - Co[k] x_even[k+1])
-        x_even_next = jnp.concatenate([x[1:], jnp.zeros((1, 6), x.dtype)])
-        rhs = (ro - jnp.einsum('nij,nj->ni', Ao, x)
-               - jnp.einsum('nij,nj->ni', Co, x_even_next))
-        x_odd = jnp.einsum('nij,nj->ni', Bo_inv, rhs)
+        x_even_next = jnp.concatenate(
+            [x[1:], jnp.zeros((1,) + x.shape[1:], x.dtype)])
+        rhs = (ro - jnp.einsum('nij,nj...->ni...', Ao, x)
+               - jnp.einsum('nij,nj...->ni...', Co, x_even_next))
+        x_odd = jnp.einsum('nij,nj...->ni...', Bo_inv, rhs)
         m2 = x.shape[0] + x_odd.shape[0]
-        out = jnp.zeros((m2, 6), x.dtype)
+        out = jnp.zeros((m2,) + x.shape[1:], x.dtype)
         out = out.at[0::2].set(x).at[1::2].set(x_odd)
         x = out
     return x[:n0]
@@ -420,26 +436,131 @@ def _tridiag_solve(B, A, r):
     return _tridiag_apply(_tridiag_factor(B, A), r)
 
 
-def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol,
-         preconditioner: str = 'jacobi'):
-    """Preconditioned CG for H x = b over [N,6] states.
+# ---------------------------------------------------------------------------
+# Woodbury preconditioner: exact chain + exact low-rank off-chain part
+# ---------------------------------------------------------------------------
+#
+# The tridiagonal preconditioner is exact on the chain but knows nothing of
+# loop closures, so PCG still needs O(#closures) iterations.  Writing
+# H = T0 + U U^T — T0 the chain+prior+damping part, U the 6-column whitened
+# Jacobian blocks of the (few) off-chain factors — the Woodbury identity
+#   H^-1 = T0^-1 - T0^-1 U (I + U^T T0^-1 U)^-1 U^T T0^-1
+# gives a NEAR-EXACT H^-1 from one cyclic-reduction factorization, one
+# batched chain solve for the U columns, and one small dense Cholesky of
+# the [6L,6L] capacitance.  PCG then only cleans up f32 round-off and the
+# cyclic-reduction diagonal boost: a handful of iterations at any graph
+# size (replaces iSAM2's incremental Bayes-tree update,
+# incremental_estimator.cpp:151-163, with O(log N) depth batched algebra).
 
-    preconditioner='jacobi': block-diagonal inverse (local smoothing only).
-    preconditioner='tridiagonal': exact solve of the Hessian's chain part
-    by cyclic reduction — converges in O(#loop-closures) iterations
-    instead of O(N) on chain-dominated pose graphs.
-    """
-    if preconditioner == 'tridiagonal':
-        B_tri, A_tri = _build_tridiag(lin, damping)
-        factors = _tridiag_factor(B_tri, A_tri)
+def _select_offchain(lin: _LinearizedGraph, capacity: int):
+    """Indices [L] of up to ``capacity`` active off-chain factors, plus a
+    validity mask (False slots are padding)."""
+    F = lin.keys.shape[0]
+    L = min(capacity, F)
+    touches_free = ((lin.free[lin.keys[:, 0]] > 0) |
+                    (lin.free[lin.keys[:, 1]] > 0))
+    off = (lin.w_rel > 0) & ~_chain_mask(lin) & touches_free
+    order = jnp.argsort(~off, stable=True)[:L]
+    return order, off[order]
 
-        def apply_M(r):
-            return _tridiag_apply(factors, r)
-    else:
+
+def _offchain_blocks(lin: _LinearizedGraph, sel, valid):
+    """Per-selected-factor U blocks: Ua/Ub [L,6(state),6(col)] with weight
+    and free-gating folded in, plus their pose keys."""
+    sw = jnp.sqrt(lin.w_rel[sel] * valid)[:, None, None]
+    ka = lin.keys[sel, 0]
+    kb = lin.keys[sel, 1]
+    Ua = jnp.swapaxes(lin.Ja[sel], -1, -2) * sw * lin.free[ka][:, None, None]
+    Ub = jnp.swapaxes(lin.Jb[sel], -1, -2) * sw * lin.free[kb][:, None, None]
+    return Ua, Ub, ka, kb
+
+
+def _make_preconditioner(lin: _LinearizedGraph, damping, config):
+    """Build ``apply_M(r) ~= H^-1 r`` once; reused across every PCG
+    iteration AND every GN step of a solve (near the optimum the
+    linearization barely moves, and a preconditioner only shapes the
+    convergence path, never the fixed point)."""
+    kind = config.preconditioner
+    if kind == 'jacobi':
         Minv = _block_jacobi(lin, damping)
+        return lambda r: jnp.einsum('nij,nj->ni', Minv, r)
 
-        def apply_M(r):
-            return jnp.einsum('nij,nj->ni', Minv, r)
+    if kind == 'tridiagonal':
+        factors = _tridiag_factor(*_build_tridiag(lin, damping))
+        return lambda r: _tridiag_apply(factors, r)
+
+    if kind != 'woodbury':
+        raise ValueError(f'unknown preconditioner {kind!r}')
+
+    sel, valid = _select_offchain(lin, config.offchain_capacity)
+    # T0 excludes the SELECTED off-chain factors entirely (their diagonal
+    # contribution rides in U U^T); unselected off-chain overflow keeps
+    # its diagonal in T0 — graceful degradation to 'tridiagonal'.
+    w_scale = jnp.ones_like(lin.w_rel).at[sel].set(
+        jnp.where(valid, 0.0, 1.0))
+    factors = _tridiag_factor(*_build_tridiag(lin, damping,
+                                              w_scale=w_scale))
+    Ua, Ub, ka, kb = _offchain_blocks(lin, sel, valid)
+    L = Ua.shape[0]
+    n = lin.free.shape[0]
+    K = 6 * L
+    lidx = jnp.arange(L)
+    U = jnp.zeros((n, 6, L, 6), Ua.dtype)
+    U = U.at[ka, :, lidx, :].add(Ua).at[kb, :, lidx, :].add(Ub)
+    V = _tridiag_apply(factors, U.reshape(n, 6, K))      # T0^-1 U
+    Vl = V.reshape(n, 6, L, 6)
+    # Capacitance C = I + U^T T0^-1 U, assembled from U's sparse rows.
+    C = (jnp.einsum('lsc,lsmd->lcmd', Ua, Vl[ka]) +
+         jnp.einsum('lsc,lsmd->lcmd', Ub, Vl[kb])).reshape(K, K)
+    C = C + jnp.eye(K, dtype=C.dtype)
+    C_chol = jax.scipy.linalg.cho_factor(C)
+
+    def apply_M(r):
+        t1 = _tridiag_apply(factors, r)
+        c = (jnp.einsum('lsc,ls->lc', Ua, t1[ka]) +
+             jnp.einsum('lsc,ls->lc', Ub, t1[kb])).reshape(K)
+        y = jax.scipy.linalg.cho_solve(C_chol, c).reshape(L, 6)
+        z = jnp.zeros_like(r)
+        z = z.at[ka].add(jnp.einsum('lsc,lc->ls', Ua, y))
+        z = z.at[kb].add(jnp.einsum('lsc,lc->ls', Ub, y))
+        return t1 - _tridiag_apply(factors, z)
+
+    return apply_M
+
+
+# ---------------------------------------------------------------------------
+# Dense direct method (small pose tables / window subproblems)
+# ---------------------------------------------------------------------------
+
+def _solve_dense(lin: _LinearizedGraph, b, damping):
+    """Exact GN step by dense assembly + Cholesky of the [6N,6N] normal
+    equations.  Semantics identical to ``_hessian_matvec`` (free gating,
+    identity rows for frozen poses, damping); latency-optimal for the
+    compact window subproblem the online path solves per scan (one
+    factorization instead of a PCG iteration chain)."""
+    n = lin.free.shape[0]
+    w = lin.w_rel[:, None, None]
+    k0, k1 = lin.keys[:, 0], lin.keys[:, 1]
+    Ha = jnp.einsum('fji,fjk->fik', lin.Ja, lin.Ja * w)
+    Hb = jnp.einsum('fji,fjk->fik', lin.Jb, lin.Jb * w)
+    Hab = jnp.einsum('fji,fjk->fik', lin.Ja, lin.Jb * w)
+    H4 = jnp.zeros((n, n, 6, 6), Ha.dtype)
+    H4 = H4.at[k0, k0].add(Ha).at[k1, k1].add(Hb)
+    H4 = H4.at[k0, k1].add(Hab).at[k1, k0].add(jnp.swapaxes(Hab, -1, -2))
+    Hp = jnp.einsum('pji,pjk->pik', lin.Jp,
+                    lin.Jp * lin.w_prior[:, None, None])
+    H4 = H4.at[lin.prior_keys, lin.prior_keys].add(Hp)
+    f = lin.free
+    H4 = H4 * f[:, None, None, None] * f[None, :, None, None]
+    H = H4.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
+    H = H + jnp.diag(jnp.repeat(damping + (1.0 - f), 6))
+    chol = jax.scipy.linalg.cho_factor(H)
+    return jax.scipy.linalg.cho_solve(chol, b.reshape(-1)).reshape(n, 6)
+
+
+def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol, apply_M):
+    """Preconditioned CG for H x = b over [N,6] states, with a prebuilt
+    preconditioner closure (see :func:`_make_preconditioner`)."""
 
     def dot(u, v):
         return jnp.sum(u * v)
@@ -526,12 +647,36 @@ def solve(graph: FactorGraphData, poses, pose_mask,
 
     e0 = graph_error(graph, poses)
 
+    if config.method == 'dense':
+        def gn_step_dense(carry, _):
+            poses, total = carry
+            lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
+            b = -_gradient(lin)
+            delta = _solve_dense(lin, b, damping) * lin.free[:, None]
+            new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
+            new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
+            return (new_poses, total + 1), None
+
+        (poses_out, pcg_total), _ = jax.lax.scan(
+            gn_step_dense, (poses, jnp.int32(0)), None,
+            length=config.gn_iterations)
+        e1 = graph_error(graph, poses_out)
+        return SolveResult(poses=poses_out, error_initial=e0,
+                           error_final=e1, pcg_iterations=pcg_total)
+
+    # The preconditioner is built ONCE from the initial linearization and
+    # reused across all GN steps: warm-started solves barely move the
+    # Jacobians, and preconditioner staleness only costs PCG iterations
+    # (tolerance-gated), never accuracy.
+    lin0 = _linearize(graph, poses, pose_mask, config.cauchy_k)
+    apply_M = _make_preconditioner(lin0, damping, config)
+
     def gn_step(carry, _):
         poses, total_pcg = carry
         lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
         b = -_gradient(lin)
         delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
-                             config.pcg_tolerance, config.preconditioner)
+                             config.pcg_tolerance, apply_M)
         delta = delta * lin.free[:, None]
         new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
         new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
@@ -557,12 +702,16 @@ def marginal_covariance(graph: FactorGraphData, poses, pose_mask, keys,
     lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
     damping = jnp.float32(config.damping)
     n = poses.shape[0]
+    Minv = _block_jacobi(lin, damping)
+
+    def apply_M(r):
+        return jnp.einsum('nij,nj->ni', Minv, r)
 
     def one_key(key):
         def one_dir(d):
             e = jnp.zeros((n, 6), poses.dtype).at[key, d].set(1.0)
             x, _ = _pcg(lin, e, damping, config.pcg_iterations * 4,
-                        config.pcg_tolerance)
+                        config.pcg_tolerance, apply_M)
             return x[key]
         # Gauge-frozen poses are pinned: their marginal covariance is ~0
         # (the PCG identity row would otherwise report I).

@@ -172,8 +172,14 @@ def decode_velodyne_packets(raw: bytes,
     ROS velodyne driver (velodyne_assembler consumes its PointCloud2
     output, velodyne_assembler_ros.cpp:57-75).  Packet layout: 12 blocks
     of (0xEEFF flag, uint16 azimuth in 0.01 deg, 32 x (uint16 distance in
-    2 mm, uint8 intensity)); zero-distance returns are dropped.  Feed the
-    result per packet into ``pipeline.assembler.RevolutionAssembler``.
+    2 mm, uint8 intensity)); zero-distance returns are dropped.  Azimuth
+    is interpolated per channel across the block (channel c adds
+    ``gap * c/32`` of the azimuth step to the next decoded block — the
+    second VLP-16 firing sequence really fires ~0.2 deg later at 600 rpm);
+    dual-return packets (factory byte 0x39/0x3A/0x3B at offset 1204)
+    decode only the even block of each (last, strongest) pair so points
+    are not duplicated.  Feed the result per packet into
+    ``pipeline.assembler.RevolutionAssembler``.
     """
     n_packets = len(raw) // 1206
     if n_packets == 0:
@@ -190,23 +196,44 @@ def decode_velodyne_packets(raw: bytes,
             len(elev),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_points)
         return out[:n].copy()
-    # numpy fallback (same semantics)
+    # numpy fallback (same semantics as the native decoder)
     data = np.frombuffer(raw, dtype=np.uint8,
                          count=n_packets * 1206).reshape(n_packets, 1206)
-    blocks = data[:, :1200].reshape(n_packets * 12, 100)
+    mode = data[:, 1204]
+    dual = np.isin(mode, (0x39, 0x3A, 0x3B))
+    blocks = data[:, :1200].reshape(n_packets, 12, 100)
+    # Dual-return: keep only even blocks of each (last, strongest) pair.
+    block_keep = np.ones((n_packets, 12), bool)
+    block_keep[dual, 1::2] = False
+    blocks = blocks[block_keep]              # [B,100] decode-ordered
     flag = blocks[:, 0].astype(np.uint16) | (
         blocks[:, 1].astype(np.uint16) << 8)
     az = (blocks[:, 2].astype(np.uint32) |
           (blocks[:, 3].astype(np.uint32) << 8)).astype(np.float32) * 0.01
-    az_rad = np.deg2rad(az)
+    # Per-block azimuth gap to the next decoded block (wrap into [0,360);
+    # gaps across stream discontinuities (> 10 deg) and the final block
+    # reuse the previous block's gap, as in the native decoder).
+    gap = np.zeros_like(az)
+    if len(az) > 1:
+        gap[:-1] = np.mod(az[1:] - az[:-1], 360.0)
+        bad = gap > 10.0
+        bad[-1] = True
+        prev = 0.0
+        for i in range(len(gap)):
+            if bad[i]:
+                gap[i] = prev
+            else:
+                prev = gap[i]
     rec = blocks[:, 4:100].reshape(-1, 32, 3)
     dist = (rec[..., 0].astype(np.uint32) |
             (rec[..., 1].astype(np.uint32) << 8)).astype(np.float32) * 0.002
+    ch_frac = (np.arange(32, dtype=np.float32) / 32.0)[None, :]
+    az_rad = np.deg2rad(az[:, None] + gap[:, None] * ch_frac)
     ch = np.arange(32) % len(elev)
     d = elev[ch][None, :]
     r = dist
-    x = r * np.cos(d) * np.sin(az_rad)[:, None]
-    y = r * np.cos(d) * np.cos(az_rad)[:, None]
+    x = r * np.cos(d) * np.sin(az_rad)
+    y = r * np.cos(d) * np.cos(az_rad)
     z = r * np.sin(d)
     keep = (dist > 0) & (flag == 0xEEFF)[:, None]
     pts = np.stack([x[keep], y[keep], z[keep]], axis=1).astype(np.float32)

@@ -73,26 +73,66 @@ long decode_kitti_bin(const char* path, float* out_xyz, long max_points) {
 // elev_rad has n_lasers entries in FIRING order; when n_lasers == 16 each
 // block holds two full firing sequences (channel k uses elev[k % 16]).
 // Zero-distance returns (no echo) are skipped.
+//
+// Azimuth is INTERPOLATED across the block: the block header carries only
+// the azimuth of the first firing, but the 32 channels fire sequentially
+// over the block interval (for a VLP-16, the second firing sequence is
+// ~0.18-0.2 deg later at 600 rpm — ~6-7 cm of skew at 20 m if ignored,
+// which is why the upstream velodyne driver interpolates too).  Channel c
+// gets az + gap * c/32 where gap is the azimuth step to the next decoded
+// block (the last block reuses the previous gap) — a linear-in-channel
+// approximation of the per-sequence + per-channel firing times.
+//
+// Dual-return packets (factory return-mode byte at offset 1204 equal to
+// 0x39/0x3A/0x3B) carry each firing TWICE (block pairs: last + strongest
+// return); only the even block of each pair is decoded so points are not
+// duplicated.
 
 static const long kPacketBytes = 1206;
 static const long kBlocksPerPacket = 12;
 static const long kChannelsPerBlock = 32;
 
+static inline float block_azimuth_deg(const uint8_t* pkt, long b) {
+  const uint8_t* blk = pkt + b * 100;
+  return static_cast<float>(blk[2] | (blk[3] << 8)) * 0.01f;
+}
+
 long decode_velodyne_packets(const uint8_t* data, long n_packets,
                              const float* elev_rad, long n_lasers,
                              float* out_xyz, long max_points) {
   long m = 0;
+  float prev_gap_deg = 0.0f;  // reused for the stream's final block
   for (long p = 0; p < n_packets; ++p) {
     const uint8_t* pkt = data + p * kPacketBytes;
-    for (long b = 0; b < kBlocksPerPacket; ++b) {
+    const uint8_t mode = pkt[1204];
+    const bool dual = (mode == 0x39 || mode == 0x3A || mode == 0x3B);
+    const long bstep = dual ? 2 : 1;
+    for (long b = 0; b < kBlocksPerPacket; b += bstep) {
       const uint8_t* blk = pkt + b * 100;
       const uint16_t flag =
           static_cast<uint16_t>(blk[0] | (blk[1] << 8));
       if (flag != 0xEEFF) continue;  // malformed / padding block
-      const float az_deg =
-          static_cast<float>(blk[2] | (blk[3] << 8)) * 0.01f;
-      const float az = az_deg * 0.017453292519943295f;
-      const float sin_a = std::sin(az), cos_a = std::cos(az);
+      const float az_deg = block_azimuth_deg(pkt, b);
+      // Azimuth gap to the next decoded block (possibly in the next
+      // packet); wrap into [0, 360).
+      float gap_deg = prev_gap_deg;
+      const long b_next = b + bstep;
+      const uint8_t* pkt_next =
+          (b_next < kBlocksPerPacket) ? pkt
+          : (p + 1 < n_packets ? pkt + kPacketBytes : nullptr);
+      const long bn = (b_next < kBlocksPerPacket) ? b_next
+                                                  : b_next - kBlocksPerPacket;
+      if (pkt_next != nullptr) {
+        const uint8_t* nblk = pkt_next + bn * 100;
+        const uint16_t nflag =
+            static_cast<uint16_t>(nblk[0] | (nblk[1] << 8));
+        if (nflag == 0xEEFF) {
+          gap_deg = block_azimuth_deg(pkt_next, bn) - az_deg;
+          if (gap_deg < 0.0f) gap_deg += 360.0f;
+          if (gap_deg > 10.0f) gap_deg = prev_gap_deg;  // discontinuity
+          else prev_gap_deg = gap_deg;
+        }
+      }
       for (long c = 0; c < kChannelsPerBlock; ++c) {
         const uint8_t* rec = blk + 4 + c * 3;
         const uint16_t raw =
@@ -100,6 +140,11 @@ long decode_velodyne_packets(const uint8_t* data, long n_packets,
         if (raw == 0) continue;  // no return
         if (m >= max_points) return m;
         const float r = static_cast<float>(raw) * 0.002f;
+        const float az =
+            (az_deg + gap_deg * static_cast<float>(c) /
+                          static_cast<float>(kChannelsPerBlock)) *
+            0.017453292519943295f;
+        const float sin_a = std::sin(az), cos_a = std::cos(az);
         const float d = elev_rad[c % n_lasers];
         const float cos_d = std::cos(d);
         out_xyz[3 * m + 0] = r * cos_d * sin_a;

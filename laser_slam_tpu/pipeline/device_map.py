@@ -147,44 +147,76 @@ class DeviceMapper:
     """Host driver for the device-resident map, companion to
     ``pipeline.online.OnlineRunner``.
 
+    Keeps ONE (local, distant) map pair PER TRACK, mirroring the
+    reference's per-worker maps (laser_slam_worker.hpp:157-159): a
+    loop-closure correction re-rigidifies only the affected track's map,
+    never points accumulated by other robots (updateLocalMap,
+    laser_slam_worker.cpp:522-540, runs in each worker separately).
+
     Call :meth:`accumulate` after each processed scan (reads the newest
     ring entry + solved pose straight from the online state — no host
     transfer), :meth:`refresh` to run filtering/separation, and
     :meth:`rigidify` after loop closures.
     """
 
-    def __init__(self, config: WorkerConfig, distant_capacity: int = 0):
+    def __init__(self, config: WorkerConfig, distant_capacity: int = 0,
+                 n_tracks: int = 1):
         self.config = config
+        self.n_tracks = n_tracks
         cap = config.local_map_capacity
-        self.local = init_map(cap)
-        self.distant = init_map(distant_capacity or cap)
+        self.local_maps = [init_map(cap) for _ in range(n_tracks)]
+        self.distant_maps = [init_map(distant_capacity or cap)
+                             for _ in range(n_tracks)]
+
+    # Single-track convenience views (bulk of deployments run one robot).
+    @property
+    def local(self) -> MapState:
+        return self.local_maps[0]
+
+    @local.setter
+    def local(self, m: MapState) -> None:
+        self.local_maps[0] = m
+
+    @property
+    def distant(self) -> MapState:
+        return self.distant_maps[0]
+
+    @distant.setter
+    def distant(self, m: MapState) -> None:
+        self.distant_maps[0] = m
 
     def accumulate(self, online_state, track_id: int = 0) -> None:
         """Append the newest scan of ``track_id`` from the online state's
-        ring, transformed by its solved pose."""
+        ring, transformed by its solved pose, to that track's map."""
         pts = online_state.ring_points[track_id, -1]
         msk = online_state.ring_mask[track_id, -1]
         key = online_state.track_last_key[track_id]
         T_w = online_state.traj_poses[jnp.maximum(key, 0)]
-        self.local = accumulate_scan(self.local, pts, msk, T_w, self.config)
+        self.local_maps[track_id] = accumulate_scan(
+            self.local_maps[track_id], pts, msk, T_w, self.config)
 
-    def refresh(self, center) -> None:
+    def refresh(self, center, track_id: int = 0) -> None:
         """Filter + near/far separation around ``center`` (world [3])."""
-        self.local, self.distant = filter_and_separate(
-            self.local, self.distant, jnp.asarray(center, jnp.float32),
-            self.config)
+        self.local_maps[track_id], self.distant_maps[track_id] = \
+            filter_and_separate(
+                self.local_maps[track_id], self.distant_maps[track_id],
+                jnp.asarray(center, jnp.float32), self.config)
 
-    def rigidify(self, T_pose7) -> None:
+    def rigidify(self, T_pose7, track_id: int = 0) -> None:
+        """Apply a loop-closure correction to ONE track's maps."""
         T = jnp.asarray(T_pose7, jnp.float32)
-        self.local = rigidify(self.local, T)
-        self.distant = rigidify(self.distant, T)
+        self.local_maps[track_id] = rigidify(self.local_maps[track_id], T)
+        self.distant_maps[track_id] = rigidify(self.distant_maps[track_id],
+                                               T)
 
-    def local_points(self) -> np.ndarray:
-        """Host copy of the live local map's valid points [n,3]."""
-        pts = np.asarray(self.local.points)
-        return pts[np.asarray(self.local.mask)]
+    def local_points(self, track_id: int = 0) -> np.ndarray:
+        """Host copy of a track's live local map valid points [n,3]."""
+        m = self.local_maps[track_id]
+        pts = np.asarray(m.points)
+        return pts[np.asarray(m.mask)]
 
-    def full_map(self) -> np.ndarray:
-        """Host copy of local + distant valid points [n,3]."""
-        d = np.asarray(self.distant.points)[np.asarray(self.distant.mask)]
-        return np.concatenate([self.local_points(), d])
+    def full_map(self, track_id: int = 0) -> np.ndarray:
+        """Host copy of a track's local + distant valid points [n,3]."""
+        m = self.distant_maps[track_id]
+        d = np.asarray(m.points)[np.asarray(m.mask)]
+        return np.concatenate([self.local_points(track_id), d])

@@ -81,20 +81,34 @@ class ScanArchive(NamedTuple):
     """Downsampled per-key scan history for device-side loop-closure
     submap ICP (buildSubMapAroundTime needs scans far older than the
     submap ring keeps — laser_track.cpp:602-651).  Row k holds the scan
-    whose pose key is k, strided down to a fixed point budget."""
-    points: jax.Array   # [A,M,3] sensor frame, SENTINEL-parked
-    mask: jax.Array     # [A,M]
-    normals: jax.Array  # [A,M,3]
-    track: jax.Array    # [A] int32 owning track (-1 = empty row)
+    whose pose key is k, strided down to a fixed point budget.
+
+    The per-track index (``track_pos``/``track_keys``/``track_count``)
+    lets submap gathering window over a track's OWN scan sequence: with N
+    interleaved robots, a radius-R submap still holds R same-track scans,
+    matching the reference's per-track scan radius
+    (laser_track.cpp:602-651) instead of diluting by the global key
+    interleaving."""
+    points: jax.Array       # [A,M,3] sensor frame, SENTINEL-parked
+    mask: jax.Array         # [A,M]
+    normals: jax.Array      # [A,M,3]
+    track: jax.Array        # [A] int32 owning track (-1 = empty row)
+    track_pos: jax.Array    # [A] int32 scan's position within its track
+    track_keys: jax.Array   # [T,A] int32 global key at track position (-1)
+    track_count: jax.Array  # [T] int32 scans stored per track
 
 
-def init_archive(pose_capacity: int, points_per_scan: int) -> ScanArchive:
+def init_archive(pose_capacity: int, points_per_scan: int,
+                 n_tracks: int = 1) -> ScanArchive:
     return ScanArchive(
         points=jnp.full((pose_capacity, points_per_scan, 3), pc.SENTINEL,
                         jnp.float32),
         mask=jnp.zeros((pose_capacity, points_per_scan), bool),
         normals=jnp.zeros((pose_capacity, points_per_scan, 3), jnp.float32),
-        track=jnp.full((pose_capacity,), -1, jnp.int32))
+        track=jnp.full((pose_capacity,), -1, jnp.int32),
+        track_pos=jnp.zeros((pose_capacity,), jnp.int32),
+        track_keys=jnp.full((n_tracks, pose_capacity), -1, jnp.int32),
+        track_count=jnp.zeros((n_tracks,), jnp.int32))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -108,7 +122,9 @@ def archive_append(archive: ScanArchive, points: jax.Array,
     M = archive.points.shape[1]
     if N > M:
         order = jnp.argsort(~mask, stable=True)
-        rows = jnp.arange(M) * (N // M)
+        # Even spread over the packed range for ANY N >= M (a floor stride
+        # N // M would keep only an azimuth prefix when M < N < 2M).
+        rows = (jnp.arange(M) * N) // M
         sel = order[rows]
         pts, msk, nrm = points[sel], mask[sel], normals[sel]
     else:
@@ -118,17 +134,22 @@ def archive_append(archive: ScanArchive, points: jax.Array,
         msk = jnp.pad(mask, (0, pad))
         nrm = jnp.pad(normals, ((0, pad), (0, 0)))
     pts = jnp.where(msk[:, None], pts, pc.SENTINEL)
+    pos = archive.track_count[track_id]
     return ScanArchive(
         points=archive.points.at[key].set(pts),
         mask=archive.mask.at[key].set(msk),
         normals=archive.normals.at[key].set(nrm),
-        track=archive.track.at[key].set(track_id))
+        track=archive.track.at[key].set(track_id),
+        track_pos=archive.track_pos.at[key].set(pos),
+        track_keys=archive.track_keys.at[track_id, pos].set(key),
+        track_count=archive.track_count.at[track_id].add(1))
 
 
 def grow_archive(archive: ScanArchive, pose_capacity: int) -> ScanArchive:
     """Match a grown pose table (rows keyed by pose key)."""
     extra = pose_capacity - archive.points.shape[0]
     M = archive.points.shape[1]
+    T = archive.track_keys.shape[0]
     return ScanArchive(
         points=jnp.concatenate(
             [archive.points,
@@ -137,7 +158,13 @@ def grow_archive(archive: ScanArchive, pose_capacity: int) -> ScanArchive:
         normals=jnp.concatenate(
             [archive.normals, jnp.zeros((extra, M, 3), jnp.float32)]),
         track=jnp.concatenate(
-            [archive.track, jnp.full((extra,), -1, jnp.int32)]))
+            [archive.track, jnp.full((extra,), -1, jnp.int32)]),
+        track_pos=jnp.concatenate(
+            [archive.track_pos, jnp.zeros((extra,), jnp.int32)]),
+        track_keys=jnp.concatenate(
+            [archive.track_keys,
+             jnp.full((T, extra), -1, jnp.int32)], axis=1),
+        track_count=archive.track_count)
 
 
 def init_state(config: EstimatorConfig, pose_capacity: int = 4096,
@@ -230,6 +257,84 @@ def _graph_view(state: OnlineState) -> FactorGraphData:
         prior_meas=state.prior_meas, prior_keys=state.prior_keys,
         prior_sqrt_info=state.prior_sqrt_info,
         prior_weight=state.prior_weight)
+
+
+def _window_solve(state: OnlineState, i: jax.Array,
+                  config: EstimatorConfig):
+    """Solve the sliding window as a compact dense subproblem.
+
+    Gathers the last ``window + margin`` poses into a small table (plus
+    ``ANCHORS`` extra rows holding out-of-window poses referenced by
+    loop-closure factors, each converted to a frozen anchor), remaps the
+    contiguous factor slice's keys into it, runs the dense direct solver
+    (solver._solve_dense) and scatters the window back.  Frozen margin
+    poses gauge the window exactly as the full-table masked solve did.
+    Returns (new traj_poses, final error).
+    """
+    import dataclasses
+    W = config.solver.window
+    MARGIN, ANCHORS = 8, 8
+    C = state.traj_poses.shape[0]
+    Mw = min(W + MARGIN, C)
+    base = jnp.clip(i + 1 - Mw, 0, C - Mw)
+    Fw = min(2 * W + 2, state.rel_meas.shape[0])
+    start_f = jnp.clip(state.n_rel - Fw, 0, state.rel_meas.shape[0] - Fw)
+
+    rel_meas = jax.lax.dynamic_slice(state.rel_meas, (start_f, 0), (Fw, 7))
+    rel_keys = jax.lax.dynamic_slice(state.rel_keys, (start_f, 0), (Fw, 2))
+    rel_sqrt = jax.lax.dynamic_slice(state.rel_sqrt_info, (start_f, 0),
+                                     (Fw, 6))
+    rel_robust = jax.lax.dynamic_slice(state.rel_robust, (start_f,), (Fw,))
+    rel_weight = jax.lax.dynamic_slice(state.rel_weight, (start_f,), (Fw,))
+
+    keys_l = rel_keys - base
+    Mt = Mw + ANCHORS
+    # Factors whose key_a predates the compact table (loop closures into
+    # the past) anchor against a gathered copy of that pose; key_b is
+    # always recent for chronologically appended factors — factors with
+    # BOTH keys out of table are dropped (all-frozen, contribute nothing).
+    b_in = (keys_l[:, 1] >= 0) & (keys_l[:, 1] < Mw)
+    need = (keys_l[:, 0] < 0) & b_in & (rel_weight > 0)
+    slot = jnp.cumsum(need.astype(jnp.int32)) - 1
+    ok = need & (slot < ANCHORS)
+    key_a_l = jnp.where(ok, Mw + slot, keys_l[:, 0])
+    weight = jnp.where((need & ~ok) | ~b_in |
+                       ((keys_l[:, 0] < 0) & ~need), 0.0, rel_weight)
+    anchors = jnp.zeros((ANCHORS, 7), state.traj_poses.dtype) \
+        .at[:, 0].set(1.0) \
+        .at[jnp.where(ok, slot, ANCHORS)].set(
+            state.traj_poses[jnp.clip(rel_keys[:, 0], 0, C - 1)],
+            mode='drop')
+    key_a_l = jnp.clip(key_a_l, 0, Mt - 1)
+    key_b_l = jnp.clip(keys_l[:, 1], 0, Mt - 1)
+
+    pk_l = state.prior_keys - base
+    p_in = (pk_l >= 0) & (pk_l < Mw)
+    prior_weight = jnp.where(p_in, state.prior_weight, 0.0)
+    prior_keys_l = jnp.clip(pk_l, 0, Mt - 1)
+
+    graph_w = FactorGraphData(
+        rel_meas=rel_meas,
+        rel_keys=jnp.stack([key_a_l, key_b_l], axis=1),
+        rel_sqrt_info=rel_sqrt, rel_robust=rel_robust,
+        rel_fixed_a=jnp.zeros((Fw,), bool), rel_weight=weight,
+        prior_meas=state.prior_meas, prior_keys=prior_keys_l,
+        prior_sqrt_info=state.prior_sqrt_info, prior_weight=prior_weight)
+
+    poses_tab = jnp.concatenate(
+        [jax.lax.dynamic_slice(state.traj_poses, (base, 0), (Mw, 7)),
+         anchors])
+    g_idx = base + jnp.arange(Mw)
+    mask_w = (g_idx < i + 1) & (g_idx >= i + 1 - W)
+    mask_tab = jnp.concatenate([mask_w, jnp.zeros((ANCHORS,), bool)])
+
+    scfg = dataclasses.replace(config.solver, method='dense')
+    result = sv.solve(graph_w, poses_tab, mask_tab, scfg)
+    new_window = jnp.where(mask_w[:, None], result.poses[:Mw],
+                           poses_tab[:Mw])
+    new_traj = jax.lax.dynamic_update_slice(state.traj_poses, new_window,
+                                            (base, 0))
+    return new_traj, result.error_final
 
 
 @functools.partial(jax.jit, static_argnames=('config', 'odometry_free'),
@@ -375,40 +480,28 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     state = jax.lax.cond(prev_key < 0, first_branch, normal_branch, state)
 
     # --- incremental solve (incremental_estimator.cpp:151-163) ----------
-    idx = jnp.arange(state.traj_poses.shape[0])
-    pose_mask = idx < (i + 1)
-    graph = _graph_view(state)
     if config.solver.window > 0:
-        # Sliding window: only the newest `window` poses stay free; older
-        # poses act as fixed anchors.  Because the online path appends
-        # factors chronologically (2 per scan), the window's factors are a
-        # contiguous dynamic slice — linearize/matvec cost O(window), not
-        # O(capacity).
-        W = config.solver.window
-        Fw = min(2 * W + 2, state.rel_meas.shape[0])
-        start_f = jnp.clip(state.n_rel - Fw, 0,
-                           state.rel_meas.shape[0] - Fw)
-        graph = graph._replace(
-            rel_meas=jax.lax.dynamic_slice(
-                state.rel_meas, (start_f, 0), (Fw, 7)),
-            rel_keys=jax.lax.dynamic_slice(
-                state.rel_keys, (start_f, 0), (Fw, 2)),
-            rel_sqrt_info=jax.lax.dynamic_slice(
-                state.rel_sqrt_info, (start_f, 0), (Fw, 6)),
-            rel_robust=jax.lax.dynamic_slice(
-                state.rel_robust, (start_f,), (Fw,)),
-            rel_fixed_a=jnp.zeros((Fw,), bool),
-            rel_weight=jax.lax.dynamic_slice(
-                state.rel_weight, (start_f,), (Fw,)),
-        )
-        pose_mask = pose_mask & (idx >= i + 1 - W)
-    result = sv.solve(graph, state.traj_poses, pose_mask, config.solver)
-    # (Out-of-window poses are preserved by solve's pose_mask gating.)
+        # Sliding window as a COMPACT subproblem: the newest `window`
+        # poses (plus a margin of frozen predecessors and a few anchor
+        # slots for loop-closure factors reaching further back) are
+        # gathered into a ~(window+16)-row pose table and solved with the
+        # dense direct method — one small Cholesky per GN step instead of
+        # a capacity-sized PCG/cyclic-reduction chain.  Because the online
+        # path appends factors chronologically (2 per scan), the window's
+        # factors are a contiguous dynamic slice.
+        new_traj, err = _window_solve(state, i, config)
+        result_poses, result_error = new_traj, err
+    else:
+        idx = jnp.arange(state.traj_poses.shape[0])
+        pose_mask = idx < (i + 1)
+        result = sv.solve(_graph_view(state), state.traj_poses, pose_mask,
+                          config.solver)
+        result_poses, result_error = result.poses, result.error_final
     state = state._replace(
-        traj_poses=result.poses,
+        traj_poses=result_poses,
         n_poses=i + 1,
         rng_key=key_rng,
-        last_error=result.error_final,
+        last_error=result_error,
         # Ring push for this track (newest scan last).
         ring_points=state.ring_points.at[track_id].set(
             jnp.roll(state.ring_points[track_id], -1, axis=0)
@@ -520,21 +613,23 @@ def _gather_submap(state: OnlineState, archive: ScanArchive,
                    center_key: jax.Array, frame_T_inv: jax.Array,
                    radius: int):
     """Submap around a key from the archive, in ``frame_T_inv``'s frame
-    (buildSubMapAroundTime, laser_track.cpp:602-651): the scans of the
-    center key's track with keys within ``radius``, transformed by their
-    current pose estimates.
+    (buildSubMapAroundTime, laser_track.cpp:602-651): the ``radius``
+    preceding and following scans OF THE CENTER KEY'S TRACK, transformed
+    by their current pose estimates.
 
-    Keys are GLOBAL across tracks, so with N interleaved tracks a key
-    radius of R yields ~R/N same-track scans (other tracks' keys inside
-    the window are masked out by the track check below).  Size
-    ``loop_closures_sub_maps_radius`` accordingly for multi-robot runs;
-    the reference's per-track time radius has no interleaving to skip."""
+    The window runs over the track's own scan sequence (the archive's
+    per-track key index), so interleaved multi-robot streams get
+    full-density submaps — matching the reference's per-track radius
+    semantics exactly."""
     A = archive.points.shape[0]
-    ks = center_key + jnp.arange(-radius, radius + 1)
+    tid = jnp.maximum(archive.track[center_key], 0)
+    cpos = archive.track_pos[center_key]
+    ps = cpos + jnp.arange(-radius, radius + 1)
+    ks = archive.track_keys[tid, jnp.clip(ps, 0, A - 1)]
     ksc = jnp.clip(ks, 0, A - 1)
-    valid_k = ((ks >= 0) & (ks < state.n_poses) &
-               (archive.track[ksc] == archive.track[center_key]) &
-               (archive.track[ksc] >= 0))
+    valid_k = ((ps >= 0) & (ps < archive.track_count[tid]) &
+               (ks >= 0) & (ks < state.n_poses) &
+               (archive.track[center_key] >= 0))
     pts = archive.points[ksc]                      # [2R+1,M,3]
     msk = archive.mask[ksc] & valid_k[:, None]
     nrm = archive.normals[ksc]
@@ -614,12 +709,13 @@ class OnlineRunner:
                                 seed=seed, n_tracks=n_tracks)
         self.min_dist = minimum_distance_to_add_pose
         self.use_odometry = use_odometry_information
-        self.archive = (init_archive(pose_capacity, archive_points)
+        self.archive = (init_archive(pose_capacity, archive_points,
+                                     n_tracks)
                         if archive_points > 0 else None)
         self.mapper = None
         if map_config is not None:
             from laser_slam_tpu.pipeline.device_map import DeviceMapper
-            self.mapper = DeviceMapper(map_config)
+            self.mapper = DeviceMapper(map_config, n_tracks=n_tracks)
         self._last_odom: list = [None] * n_tracks
         # (track_id, time_ns) per key, in key order.
         self.key_info: list = []
@@ -695,14 +791,20 @@ class OnlineRunner:
         level chain rotation error.  Returns the last solve's error.
         """
         cfg = self.config
-        if gn_iterations or pcg_iterations or pcg_tolerance:
+        overrides = (gn_iterations, pcg_iterations, pcg_tolerance)
+        if any(o is not None for o in overrides):
+            # `is not None` rather than truthiness: an explicit 0/0.0 is a
+            # literal override, not "use the config default".
             import dataclasses
             s = cfg.solver
             s = dataclasses.replace(
                 s,
-                gn_iterations=gn_iterations or s.gn_iterations,
-                pcg_iterations=pcg_iterations or s.pcg_iterations,
-                pcg_tolerance=pcg_tolerance or s.pcg_tolerance)
+                gn_iterations=(s.gn_iterations if gn_iterations is None
+                               else gn_iterations),
+                pcg_iterations=(s.pcg_iterations if pcg_iterations is None
+                                else pcg_iterations),
+                pcg_tolerance=(s.pcg_tolerance if pcg_tolerance is None
+                               else pcg_tolerance))
             cfg = dataclasses.replace(cfg, solver=s)
         err = float('nan')
         for _ in range(max(iterations, 1)):
@@ -852,10 +954,14 @@ class OnlineRunner:
                         use_assoc = True
                 keep.extend(drop)
                 self._linked_groups.remove(drop)
-        old_last = None
+        old_lasts = None
         if self.mapper is not None:
-            old_last = self.state.traj_poses[
-                jnp.maximum(self.state.track_last_key[track_b], 0)]
+            # Last-pose snapshot of EVERY track: the solve moves all
+            # linked tracks, and each track's map must be re-rigidified by
+            # ITS OWN correction (per-worker updateLocalMap,
+            # laser_slam_worker.cpp:522-540).
+            old_lasts = self.state.traj_poses[
+                jnp.maximum(self.state.track_last_key, 0)]
         if (self.archive is not None
                 and self.config.do_icp_step_on_loop_closures):
             self.state, _ = online_loop_closure_refined(
@@ -871,12 +977,17 @@ class OnlineRunner:
                 remove_prior_slot=jnp.int32(remove_slot),
                 use_association=use_assoc)
         if self.mapper is not None:
-            # Re-rigidify the device map by (new_last * old_last^-1)
-            # (updateLocalMap, laser_slam_worker.cpp:522-540).
-            new_last = self.state.traj_poses[
-                jnp.maximum(self.state.track_last_key[track_b], 0)]
-            self.mapper.rigidify(se3.compose(new_last,
-                                             se3.inverse(old_last)))
+            # Re-rigidify each track's device map by that track's own
+            # (new_last * old_last^-1) (updateLocalMap,
+            # laser_slam_worker.cpp:522-540 — one call per worker).
+            new_lasts = self.state.traj_poses[
+                jnp.maximum(self.state.track_last_key, 0)]
+            for tid in range(self.n_tracks):
+                if int(self.state.track_last_key[tid]) < 0:
+                    continue  # track has no scans (and no map) yet
+                self.mapper.rigidify(
+                    se3.compose(new_lasts[tid],
+                                se3.inverse(old_lasts[tid])), tid)
 
     def _find_group(self, track_id: int) -> list:
         for g in self._linked_groups:

@@ -1,0 +1,228 @@
+"""Fast solver paths: dense direct method, Woodbury preconditioner, and
+the online compact-window solve.
+
+These paths exist for TPU latency (VERDICT r2 item 1: the per-scan window
+solve must beat a CPU cached-factor backsolve); the tests pin them to the
+reference-semantics PCG solver they replace.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laser_slam_tpu.config import SolverConfig
+from laser_slam_tpu.graph import factors as fg
+from laser_slam_tpu.graph import solver as sv
+from laser_slam_tpu.ops import se3
+
+SIG = np.full(6, 0.01, np.float32)
+PRIOR_SIG = np.full(6, 1e-7, np.float32)
+
+
+def build_loopy_chain(rng, n, noise=0.01, lc_every=0, robust_lc=False):
+    """Noisy odometry chain with optional exact loop closures."""
+    xis = rng.normal(size=(n - 1, 6)).astype(np.float32) * 0.2
+    poses = [np.asarray(se3.identity())]
+    for i in range(n - 1):
+        poses.append(np.asarray(se3.compose(
+            jnp.asarray(poses[-1]), se3.exp(jnp.asarray(xis[i])))))
+    gt = np.stack(poses)
+    g = fg.HostGraph()
+    g.add_prior(0, gt[0], PRIOR_SIG)
+    for i in range(n - 1):
+        meas = se3.compose(se3.inverse(jnp.asarray(gt[i])),
+                           jnp.asarray(gt[i + 1]))
+        meas = se3.compose(meas, se3.exp(
+            jnp.asarray(rng.normal(size=6).astype(np.float32) * noise)))
+        g.add_relative(i, i + 1, np.asarray(meas), SIG)
+    if lc_every:
+        for i in range(0, n - lc_every, lc_every):
+            j = i + lc_every
+            T_lc = se3.compose(se3.inverse(jnp.asarray(gt[i])),
+                               jnp.asarray(gt[j]))
+            g.add_relative(i, j, np.asarray(T_lc), SIG * 0.1,
+                           robust=robust_lc)
+    return g, gt
+
+
+def pad_poses(poses_np, capacity):
+    n = poses_np.shape[0]
+    out = np.zeros((capacity, 7), np.float32)
+    out[:, 0] = 1.0
+    out[:n] = poses_np
+    mask = np.zeros(capacity, bool)
+    mask[:n] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+def perturbed(gt, rng, scale=0.05):
+    init = gt.copy()
+    for i in range(1, len(gt)):
+        init[i] = np.asarray(se3.compose(
+            jnp.asarray(gt[i]),
+            se3.exp(jnp.asarray(
+                rng.normal(size=6).astype(np.float32) * scale))))
+    return init
+
+
+def test_dense_matches_pcg(rng):
+    """The dense direct method converges to the same optimum as PCG on a
+    loopy graph with priors, robust factors, and a frozen gauge pose."""
+    g, gt = build_loopy_chain(rng, n=24, lc_every=8, robust_lc=True)
+    poses, mask = pad_poses(perturbed(gt, rng), 32)
+    data = g.to_device()
+    res_pcg = sv.solve(data, poses, mask,
+                       SolverConfig(gn_iterations=5, pcg_iterations=200,
+                                    pcg_tolerance=1e-10))
+    res_dense = sv.solve(data, poses, mask,
+                         SolverConfig(gn_iterations=5, method='dense'))
+    np.testing.assert_allclose(np.asarray(res_dense.poses)[:24],
+                               np.asarray(res_pcg.poses)[:24], atol=2e-3)
+    assert float(res_dense.error_final) <= float(res_pcg.error_final) * 1.1
+
+
+def test_dense_respects_pose_mask(rng):
+    """Masked (frozen) poses are anchors: untouched by the dense solve."""
+    g, gt = build_loopy_chain(rng, n=12)
+    init = perturbed(gt, rng)
+    poses, mask = pad_poses(init, 16)
+    mask = mask & (jnp.arange(16) >= 6)  # freeze the first 6
+    res = sv.solve(g.to_device(), poses, mask,
+                   SolverConfig(gn_iterations=3, method='dense'))
+    np.testing.assert_array_equal(np.asarray(res.poses)[:6], init[:6])
+    # Free poses moved toward consistency with the frozen anchors.
+    assert float(res.error_final) < float(res.error_initial)
+
+
+def test_woodbury_matches_tridiagonal(rng):
+    """Woodbury-preconditioned PCG reaches the tridiagonal answer."""
+    g, gt = build_loopy_chain(rng, n=256, lc_every=32)
+    poses, mask = pad_poses(perturbed(gt, rng, 0.03), 256)
+    data = g.to_device()
+    cfg_tri = SolverConfig(gn_iterations=3, pcg_iterations=128,
+                           pcg_tolerance=1e-8,
+                           preconditioner='tridiagonal')
+    cfg_wood = dataclasses.replace(cfg_tri, preconditioner='woodbury',
+                                   offchain_capacity=16)
+    res_tri = sv.solve(data, poses, mask, cfg_tri)
+    res_wood = sv.solve(data, poses, mask, cfg_wood)
+    np.testing.assert_allclose(np.asarray(res_wood.poses)[:256],
+                               np.asarray(res_tri.poses)[:256], atol=2e-3)
+    # The low-rank-exact preconditioner must converge in far fewer
+    # iterations than the chain-only one on a closure-rich graph.
+    assert int(res_wood.pcg_iterations) < int(res_tri.pcg_iterations)
+
+
+def test_woodbury_overflow_degrades_gracefully(rng):
+    """More off-chain factors than offchain_capacity: same answer, just
+    more PCG iterations (falls back toward 'tridiagonal')."""
+    g, gt = build_loopy_chain(rng, n=128, lc_every=8)  # 15 closures
+    poses, mask = pad_poses(perturbed(gt, rng, 0.03), 128)
+    data = g.to_device()
+    cfg = SolverConfig(gn_iterations=3, pcg_iterations=128,
+                       pcg_tolerance=1e-8, preconditioner='woodbury',
+                       offchain_capacity=4)  # < 15: overflow
+    res = sv.solve(data, poses, mask, cfg)
+    ref = sv.solve(data, poses, mask,
+                   SolverConfig(gn_iterations=3, pcg_iterations=256,
+                                pcg_tolerance=1e-10))
+    np.testing.assert_allclose(np.asarray(res.poses)[:128, 4:],
+                               np.asarray(ref.poses)[:128, 4:], atol=5e-3)
+
+
+def test_woodbury_pure_chain(rng):
+    """No off-chain factors at all: the selection pads empty and the
+    preconditioner reduces to the exact chain solve."""
+    g, gt = build_loopy_chain(rng, n=64)
+    poses, mask = pad_poses(perturbed(gt, rng, 0.03), 64)
+    cfg = SolverConfig(gn_iterations=3, pcg_iterations=64,
+                       pcg_tolerance=1e-8, preconditioner='woodbury')
+    res = sv.solve(g.to_device(), poses, mask, cfg)
+    ref = sv.solve(g.to_device(), poses, mask,
+                   SolverConfig(gn_iterations=3, pcg_iterations=128,
+                                pcg_tolerance=1e-10))
+    np.testing.assert_allclose(np.asarray(res.poses)[:64],
+                               np.asarray(ref.poses)[:64], atol=2e-3)
+
+
+def test_online_window_matches_full_solve(rng):
+    """The compact dense window solve tracks the full-graph solve: drive
+    an online chain past the window length and compare trajectories."""
+    from laser_slam_tpu.config import (EstimatorConfig, IcpConfig,
+                                       InputFilterConfig, LaserTrackConfig)
+    from laser_slam_tpu.pipeline import online
+
+    def make_cfg(window):
+        return EstimatorConfig(
+            laser_track=LaserTrackConfig(
+                nscan_in_sub_map=3,
+                use_icp_factors=False,  # isolate the solver comparison
+                odometry_noise_model=(0.01,) * 3 + (0.02,) * 3,
+                input_filters=InputFilterConfig(scan_capacity=128),
+                icp=IcpConfig(matcher='brute', reading_capacity=64,
+                              max_iterations=2)),
+            solver=dataclasses.replace(SolverConfig(), gn_iterations=3,
+                                       pcg_iterations=64, window=window))
+
+    pts = rng.normal(size=(60, 128, 3)).astype(np.float32) * 5
+    odos = [np.asarray(se3.identity())]
+    for k in range(1, 60):
+        step = np.concatenate([[1, 0, 0, 0], [1.0, 0.02 * k % 0.1, 0]])
+        odos.append(np.asarray(se3.compose(
+            jnp.asarray(odos[-1]),
+            jnp.asarray(step.astype(np.float32)))))
+
+    runs = {}
+    for window in (0, 16):
+        runner = online.OnlineRunner(make_cfg(window), pose_capacity=64,
+                                     factor_capacity=256)
+        for k in range(60):
+            runner.process_scan(k, pts[k], odos[k])
+        runs[window] = online.extract_trajectory(runner.state)
+    # Odometry-only graphs solve to the odometry composition in both
+    # modes; the window approximation must stay tight.
+    np.testing.assert_allclose(runs[16][:, 4:], runs[0][:, 4:], atol=1e-2)
+
+
+def test_window_anchor_handles_old_loop_closure(rng):
+    """A loop-closure factor reaching far behind the window is anchored
+    (not dropped): subsequent window solves keep respecting it."""
+    from laser_slam_tpu.config import (EstimatorConfig, IcpConfig,
+                                       InputFilterConfig, LaserTrackConfig)
+    from laser_slam_tpu.pipeline import online
+
+    cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            use_icp_factors=False,
+            odometry_noise_model=(0.01,) * 3 + (0.02,) * 3,
+            input_filters=InputFilterConfig(scan_capacity=128),
+            icp=IcpConfig(matcher='brute', reading_capacity=64,
+                          max_iterations=2)),
+        solver=dataclasses.replace(SolverConfig(), gn_iterations=3,
+                                   pcg_iterations=64, window=8),
+        do_icp_step_on_loop_closures=False)
+    runner = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256)
+    pts = rng.normal(size=(40, 128, 3)).astype(np.float32) * 5
+    pose = np.asarray(se3.identity())
+    step = np.asarray([1, 0, 0, 0, 1.0, 0, 0], np.float32)
+    for k in range(30):
+        runner.process_scan(k, pts[k], pose)
+        pose = np.asarray(se3.compose(jnp.asarray(pose),
+                                      jnp.asarray(step)))
+    # Strong closure: key 2 and key 29 claim to be coincident in world.
+    runner.add_loop_closure(2, 29, np.asarray(se3.identity()))
+    traj_after_lc = online.extract_trajectory(runner.state)
+    # A few more scans: window solves must anchor the out-of-window key 2
+    # and not tear the closure apart.
+    for k in range(30, 34):
+        runner.process_scan(k, pts[k], pose)
+        pose = np.asarray(se3.compose(jnp.asarray(pose),
+                                      jnp.asarray(step)))
+    traj = online.extract_trajectory(runner.state)
+    # Key 29's correction from the closure survives subsequent windows.
+    d_after = np.linalg.norm(traj_after_lc[29, 4:] - traj_after_lc[2, 4:])
+    d_now = np.linalg.norm(traj[29, 4:] - traj[2, 4:])
+    assert d_now < d_after + 1.0

@@ -217,6 +217,10 @@ class SolverConfig:
     iterations mirror the reference's 3 ``isam2_.update()`` calls.
     """
     gn_iterations: int = 3
+    # GN early-out: when an iteration's step norm falls below this, the
+    # remaining GN iterations are skipped (lax.cond — the skipped work is
+    # never executed).  0 disables (reference parity: always 3 updates).
+    gn_tolerance: float = 0.0
     pcg_iterations: int = 32
     pcg_tolerance: float = 1e-7
     damping: float = 1e-6

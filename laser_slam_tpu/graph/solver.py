@@ -504,15 +504,34 @@ def _make_preconditioner(lin: _LinearizedGraph, damping, config):
     L = Ua.shape[0]
     n = lin.free.shape[0]
     K = 6 * L
+    # Column scaling keeps the capacitance in f32 range: loop-closure
+    # Jacobians carry O(|t|) lever arms (adjoint [t]x terms, ~1e4 after
+    # whitening on a 100 m closure) and the chain covariance T0^-1
+    # amplifies them — the unscaled U^T T0^-1 U overflows f32 precision.
+    # With Utilde = U diag(s), s = 1/||col||:
+    #   H = T0 + Utilde diag(1/s^2) Utilde^T
+    #   H^-1 = T0^-1 - T0^-1 Utilde Ctilde^-1 Utilde^T T0^-1,
+    #   Ctilde = diag(s^2) + Utilde^T T0^-1 Utilde.
+    cn = jnp.sqrt(jnp.sum(Ua * Ua, axis=1) + jnp.sum(Ub * Ub, axis=1))
+    s = jnp.where(cn > 1e-20, 1.0 / jnp.maximum(cn, 1e-20), 0.0)  # [L,6]
+    Ua = Ua * s[:, None, :]
+    Ub = Ub * s[:, None, :]
+    diag_c = jnp.where(cn > 1e-20, s * s, 1.0).reshape(K)
     lidx = jnp.arange(L)
     U = jnp.zeros((n, 6, L, 6), Ua.dtype)
     U = U.at[ka, :, lidx, :].add(Ua).at[kb, :, lidx, :].add(Ub)
-    V = _tridiag_apply(factors, U.reshape(n, 6, K))      # T0^-1 U
+    V = _tridiag_apply(factors, U.reshape(n, 6, K))      # T0^-1 Utilde
     Vl = V.reshape(n, 6, L, 6)
-    # Capacitance C = I + U^T T0^-1 U, assembled from U's sparse rows.
+    # Capacitance, assembled from Utilde's sparse rows.
     C = (jnp.einsum('lsc,lsmd->lcmd', Ua, Vl[ka]) +
          jnp.einsum('lsc,lsmd->lcmd', Ub, Vl[kb])).reshape(K, K)
-    C = C + jnp.eye(K, dtype=C.dtype)
+    C = C + jnp.diag(diag_c)
+    # Multiplicative diagonal jitter: rows span many orders of magnitude
+    # (diag_c = s^2 ~ 1/||col||^2 vs the T0^-1 quadratic form), so an
+    # absolute shift would drown the small rows and gut the low-rank
+    # correction; scaling each diagonal entry by (1 + 1e-5) only nudges
+    # the factorization toward SPD.
+    C = C + jnp.diag(1e-5 * jnp.abs(jnp.diagonal(C)))
     C_chol = jax.scipy.linalg.cho_factor(C)
 
     def apply_M(r):
@@ -523,7 +542,11 @@ def _make_preconditioner(lin: _LinearizedGraph, damping, config):
         z = jnp.zeros_like(r)
         z = z.at[ka].add(jnp.einsum('lsc,lc->ls', Ua, y))
         z = z.at[kb].add(jnp.einsum('lsc,lc->ls', Ub, y))
-        return t1 - _tridiag_apply(factors, z)
+        out = t1 - _tridiag_apply(factors, z)
+        # NaN guard (SURVEY §5 failure handling): a failed capacitance
+        # factorization must degrade to the chain preconditioner, never
+        # poison the trajectory.
+        return jnp.where(jnp.isfinite(out), out, t1)
 
     return apply_M
 
@@ -532,12 +555,12 @@ def _make_preconditioner(lin: _LinearizedGraph, damping, config):
 # Dense direct method (small pose tables / window subproblems)
 # ---------------------------------------------------------------------------
 
-def _solve_dense(lin: _LinearizedGraph, b, damping):
-    """Exact GN step by dense assembly + Cholesky of the [6N,6N] normal
-    equations.  Semantics identical to ``_hessian_matvec`` (free gating,
-    identity rows for frozen poses, damping); latency-optimal for the
-    compact window subproblem the online path solves per scan (one
-    factorization instead of a PCG iteration chain)."""
+def _dense_factor(lin: _LinearizedGraph, damping):
+    """Dense [6N,6N] normal equations, Cholesky-factored.  Semantics
+    identical to ``_hessian_matvec`` (free gating, identity rows for
+    frozen poses, damping); latency-optimal for the compact window
+    subproblem the online path solves per scan (one factorization
+    instead of a PCG iteration chain)."""
     n = lin.free.shape[0]
     w = lin.w_rel[:, None, None]
     k0, k1 = lin.keys[:, 0], lin.keys[:, 1]
@@ -554,8 +577,12 @@ def _solve_dense(lin: _LinearizedGraph, b, damping):
     H4 = H4 * f[:, None, None, None] * f[None, :, None, None]
     H = H4.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
     H = H + jnp.diag(jnp.repeat(damping + (1.0 - f), 6))
-    chol = jax.scipy.linalg.cho_factor(H)
-    return jax.scipy.linalg.cho_solve(chol, b.reshape(-1)).reshape(n, 6)
+    return jax.scipy.linalg.cho_factor(H)
+
+
+def _dense_apply(chol, b):
+    n6 = b.shape[0] * b.shape[1]
+    return jax.scipy.linalg.cho_solve(chol, b.reshape(n6)).reshape(b.shape)
 
 
 def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol, apply_M):
@@ -646,44 +673,59 @@ def solve(graph: FactorGraphData, poses, pose_mask,
     poses = poses.at[snap_idx].set(graph.prior_meas, mode='drop')
 
     e0 = graph_error(graph, poses)
+    gn_tol = config.gn_tolerance
 
     if config.method == 'dense':
-        def gn_step_dense(carry, _):
-            poses, total = carry
+        # Dense mode re-factors the [6N,6N] normal equations each GN
+        # iteration (exact Newton direction — robust to cold starts with
+        # large rotations); warm-started incremental solves skip all but
+        # the first iteration via gn_tolerance, so the per-scan cost is
+        # ONE linearize + factor + backsolve.
+        def one_step(poses):
             lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
             b = -_gradient(lin)
-            delta = _solve_dense(lin, b, damping) * lin.free[:, None]
+            chol = _dense_factor(lin, damping)
+            delta = jnp.nan_to_num(_dense_apply(chol, b)) * lin.free[:, None]
             new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
             new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
-            return (new_poses, total + 1), None
+            return new_poses, jnp.int32(1), jnp.linalg.norm(delta)
+    else:
+        # The preconditioner is built ONCE from the initial linearization
+        # and reused across all GN steps: warm-started solves barely move
+        # the Jacobians, and preconditioner staleness only costs PCG
+        # iterations (tolerance-gated), never accuracy.
+        lin0 = _linearize(graph, poses, pose_mask, config.cauchy_k)
+        apply_M = _make_preconditioner(lin0, damping, config)
 
-        (poses_out, pcg_total), _ = jax.lax.scan(
-            gn_step_dense, (poses, jnp.int32(0)), None,
-            length=config.gn_iterations)
-        e1 = graph_error(graph, poses_out)
-        return SolveResult(poses=poses_out, error_initial=e0,
-                           error_final=e1, pcg_iterations=pcg_total)
-
-    # The preconditioner is built ONCE from the initial linearization and
-    # reused across all GN steps: warm-started solves barely move the
-    # Jacobians, and preconditioner staleness only costs PCG iterations
-    # (tolerance-gated), never accuracy.
-    lin0 = _linearize(graph, poses, pose_mask, config.cauchy_k)
-    apply_M = _make_preconditioner(lin0, damping, config)
+        def one_step(poses):
+            lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
+            b = -_gradient(lin)
+            delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
+                                 config.pcg_tolerance, apply_M)
+            delta = jnp.nan_to_num(delta) * lin.free[:, None]
+            new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
+            new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
+            return new_poses, pcg_it, jnp.linalg.norm(delta)
 
     def gn_step(carry, _):
-        poses, total_pcg = carry
-        lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
-        b = -_gradient(lin)
-        delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
-                             config.pcg_tolerance, apply_M)
-        delta = delta * lin.free[:, None]
-        new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
-        new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
-        return (new_poses, total_pcg + pcg_it), None
+        poses, total, last_delta = carry
+        # GN early-out: once an iteration's step norm drops below
+        # gn_tolerance, later iterations are skipped entirely (lax.cond
+        # executes one branch) — the warm-started incremental solve pays
+        # for ONE linearize+solve instead of gn_iterations of them.
+        def run(poses):
+            return one_step(poses)
 
-    (poses_out, pcg_total), _ = jax.lax.scan(
-        gn_step, (poses, jnp.int32(0)), None, length=config.gn_iterations)
+        def skip(poses):
+            return poses, jnp.int32(0), last_delta
+
+        poses, it, dnorm = jax.lax.cond(last_delta >= gn_tol, run, skip,
+                                        poses)
+        return (poses, total + it, dnorm), None
+
+    (poses_out, pcg_total, _), _ = jax.lax.scan(
+        gn_step, (poses, jnp.int32(0), jnp.float32(jnp.inf)), None,
+        length=config.gn_iterations)
     e1 = graph_error(graph, poses_out)
     return SolveResult(poses=poses_out, error_initial=e0, error_final=e1,
                        pcg_iterations=pcg_total)

@@ -87,6 +87,100 @@ def fleet_solve(graphs: FactorGraphData, poses, pose_masks,
         graphs, poses, pose_masks)
 
 
+def batched_icp(points, masks, reference, ref_normals, guesses,
+                config: IcpConfig):
+    """vmap point-to-plane ICP of a batch of readings against a SHARED
+    reference (the serving path behind the headline benchmark).
+
+    Guard for a measured XLA scheduling pathology: B=64 on TPU v5e runs
+    ~3x slower than B=32 or B=128 at identical per-pair work (345 vs
+    1100 pairs/s, reproducible — experiments/headline_and_soak.py).
+    Batches of exactly 64 are split into two 32-lane halves inside the
+    same program; all other sizes pass straight through.
+    """
+    def run(p, m, g):
+        return jax.vmap(lambda pp, mm, gg: icp_mod.icp_point_to_plane(
+            pc.Cloud(pp, mm), reference, ref_normals, gg, config))(p, m, g)
+
+    if points.shape[0] == 64:
+        h1 = run(points[:32], masks[:32], guesses[:32])
+        h2 = run(points[32:], masks[32:], guesses[32:])
+        return jax.tree.map(lambda a, b: jnp.concatenate([a, b]), h1, h2)
+    return run(points, masks, guesses)
+
+
+class FleetMaps(NamedTuple):
+    """Per-lane world-frame local maps (BASELINE config 5's 'local-map NN
+    queries'): fixed-capacity SENTINEL-parked buffers, one per lane."""
+    points: jax.Array   # [B,M,3]
+    mask: jax.Array     # [B,M]
+    cursor: jax.Array   # [B] int32 next write row
+
+
+def init_fleet_maps(n_lanes: int, capacity: int) -> FleetMaps:
+    return FleetMaps(
+        points=jnp.full((n_lanes, capacity, 3), pc.SENTINEL, jnp.float32),
+        mask=jnp.zeros((n_lanes, capacity), bool),
+        cursor=jnp.zeros((n_lanes,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=('voxel_size_m',),
+                   donate_argnums=(0,))
+def fleet_accumulate(maps: FleetMaps, scan_points: jax.Array,
+                     scan_masks: jax.Array, poses: jax.Array,
+                     voxel_size_m: float = 0.0) -> FleetMaps:
+    """Append one scan per lane to its map, transformed by its pose.
+
+    scan_points [B,N,3] (sensor frame), poses [B,7].  When a lane's
+    buffer would overflow it is voxel-compacted first (``voxel_size_m``
+    > 0) or the overflow rows are dropped (bounded-memory policy, the
+    same trade as pipeline.device_map.accumulate_scan).
+    """
+    B, N, _ = scan_points.shape
+    M = maps.points.shape[1]
+
+    def one(m_pts, m_msk, cur, pts, msk, pose):
+        world = se3.apply(pose, pts)
+        world = jnp.where(msk[:, None], world, pc.SENTINEL)
+        if voxel_size_m > 0.0:
+            def compact(args):
+                p, mm = args
+                c = pc.voxel_filter(pc.Cloud(p, mm), voxel_size_m, 1)
+                c = pc.compact(c, M)
+                return c.points, c.mask, jnp.sum(c.mask).astype(jnp.int32)
+
+            m_pts, m_msk, cur = jax.lax.cond(
+                cur + N > M, compact,
+                lambda args: (args[0], args[1], cur), (m_pts, m_msk))
+        rows = cur + jnp.arange(N)
+        return (m_pts.at[rows].set(world, mode='drop'),
+                m_msk.at[rows].set(msk, mode='drop'),
+                jnp.minimum(cur + N, M))
+
+    pts, msk, cur = jax.vmap(one)(maps.points, maps.mask, maps.cursor,
+                                  scan_points, scan_masks, poses)
+    return FleetMaps(points=pts, mask=msk, cursor=cur)
+
+
+@jax.jit
+def fleet_map_query(maps: FleetMaps, queries: jax.Array):
+    """Batched exact 1-NN of per-lane queries against per-lane maps.
+
+    queries [B,Q,3] (world frame) -> (indices [B,Q], sq-distances [B,Q]).
+    Each lane's MXU-tiled brute NN sweep (ops.neighbors.nn_brute) runs
+    under vmap, so the whole fleet is one batched distance-product
+    program — the capability BASELINE config 5 adds over the reference's
+    single-map-per-worker design (laser_slam_worker.cpp:415-488 only
+    voxel-filters; NN against the map has no reference equivalent).
+    """
+    from laser_slam_tpu.ops import neighbors
+
+    def one(q, ref):
+        return neighbors.nn_brute(q, ref)
+
+    return jax.vmap(one)(queries, maps.points)
+
+
 def build_fleet_chain_graphs(rel_meas, rel_valid, first_poses, odo_sigmas,
                              prior_sigma: float = 1e-7):
     """Assemble batched chain graphs from fleet odometry output.

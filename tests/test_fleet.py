@@ -159,3 +159,76 @@ def test_dp_scales_to_full_mesh_lanes(rng):
     result = fleet.fleet_solve(graphs, odo.poses, pose_mask, scfg)
     np.testing.assert_allclose(np.asarray(poses8)[3],
                                np.asarray(result.poses)[0], atol=1e-5)
+
+
+def test_fleet_maps_accumulate_and_query(rng):
+    """Per-lane local maps (BASELINE config 5 'local-map NN queries'):
+    accumulated world-frame points answer exact per-lane 1-NN."""
+    B, N, M = 4, 256, 1024
+    maps = fleet.init_fleet_maps(B, M)
+    g = np.random.default_rng(0)
+    scans = g.uniform(-5, 5, (B, N, 3)).astype(np.float32)
+    masks = np.ones((B, N), bool)
+    masks[:, 200:] = False  # tail invalid
+    poses = np.zeros((B, 7), np.float32)
+    poses[:, 0] = 1.0
+    poses[:, 4] = np.arange(B) * 10.0  # lanes shifted apart in x
+    maps = fleet.fleet_accumulate(maps, jnp.asarray(scans),
+                                  jnp.asarray(masks), jnp.asarray(poses))
+    assert np.all(np.asarray(maps.cursor) == N)
+    # Query each lane at (a perturbation of) its own world points.
+    world = scans + poses[:, None, 4:]
+    q = world[:, :64] + 0.01
+    idx, d2 = fleet.fleet_map_query(maps, jnp.asarray(q))
+    d2 = np.asarray(d2)
+    assert d2.shape == (B, 64)
+    assert d2.max() < 0.05 ** 2  # found own point, not a neighbor lane's
+    # Invalid (SENTINEL-parked) rows never win.
+    assert np.all(np.asarray(idx) < N)
+
+
+def test_fleet_maps_overflow_compacts(rng):
+    """Overflowing a lane's buffer triggers voxel compaction instead of
+    unbounded growth or silent corruption."""
+    B, N, M = 2, 512, 1024
+    maps = fleet.init_fleet_maps(B, M)
+    g = np.random.default_rng(1)
+    poses = np.zeros((B, 7), np.float32)
+    poses[:, 0] = 1.0
+    for _ in range(4):  # 4*512 = 2048 > 1024 capacity
+        scans = g.uniform(-2, 2, (B, N, 3)).astype(np.float32)
+        masks = np.ones((B, N), bool)
+        maps = fleet.fleet_accumulate(maps, jnp.asarray(scans),
+                                      jnp.asarray(masks), jnp.asarray(poses),
+                                      voxel_size_m=0.5)
+    cur = np.asarray(maps.cursor)
+    assert np.all(cur <= M)
+    # The map still answers queries with in-range matches.
+    q = jnp.asarray(g.uniform(-2, 2, (B, 32, 3)).astype(np.float32))
+    _, d2 = fleet.fleet_map_query(maps, q)
+    assert np.asarray(d2).max() < 1.0  # voxel 0.5 -> neighbor within ~0.9
+
+
+def test_batched_icp_b64_guard(rng):
+    """batched_icp: the B=64 split path returns exactly what a plain vmap
+    over all 64 lanes returns (the guard changes scheduling, not math)."""
+    g = np.random.default_rng(2)
+    ref_np = g.uniform(-3, 3, (512, 3)).astype(np.float32)
+    ref = pc.make_cloud(ref_np, capacity=512)
+    normals = pc.estimate_normals(ref, knn=8)
+    cfg = IcpConfig(matcher='brute', reading_capacity=256,
+                    reading_sampling_ratio=1.0, max_iterations=4)
+    B = 64
+    reads = np.stack([ref_np[g.permutation(512)[:256]] for _ in range(B)])
+    masks = np.ones((B, 256), bool)
+    guesses = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (B, 1))
+    out = fleet.batched_icp(jnp.asarray(reads), jnp.asarray(masks),
+                            ref, normals, jnp.asarray(guesses), cfg)
+    import laser_slam_tpu.ops.icp as icp_mod
+    want = jax.vmap(lambda p, m, gg: icp_mod.icp_point_to_plane(
+        pc.Cloud(p, m), ref, normals, gg, cfg))(
+            jnp.asarray(reads), jnp.asarray(masks), jnp.asarray(guesses))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-6),
+        out, want)

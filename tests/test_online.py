@@ -516,14 +516,16 @@ def test_multirobot_submap_full_density(rng):
         for t in range(n_tracks):
             runner.process_scan(f.time_ns * n_tracks + t, f.points,
                                 f.odom_pose7, track_id=t)
-    # Center on track 1's 5th scan (global key 5*3+1 = 16); radius 3.
-    center = 5 * n_tracks + 1
+    # Center on track 1's scan at position 4 (global key 4*3+1 = 13);
+    # radius 3 -> window positions 1..7, all of which exist (8 scans).
+    center = 4 * n_tracks + 1
     assert runner.key_info[center][0] == 1
     cloud, _ = online._gather_submap(
         runner.state, runner.archive, jnp.int32(center),
         se3.identity(), radius=3)
     rows = np.asarray(cloud.mask).reshape(7, -1).any(axis=1)
-    # All 7 window slots (positions 2..8 of track 1) hold real scans.
+    # All 7 window slots (positions 1..7 of track 1) hold real scans —
+    # under the old global-key +-radius window only ~7/3 would.
     assert rows.sum() == 7, rows
     # And every contributing scan belongs to track 1.
     tid = np.asarray(runner.archive.track)

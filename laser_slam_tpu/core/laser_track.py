@@ -62,7 +62,8 @@ def _ingest_scan(points, n_valid, key, config: LaserTrackConfig):
             c = pc.random_sampling_filter(c, f.random_sampling_ratio, key)
     store_cap = f.store_capacity or f.scan_capacity
     if store_cap < c.points.shape[0]:
-        c = pc.compact(c, store_cap)
+        # Even stride, not prefix truncation (cloud.compact_decimate).
+        c = pc.compact_decimate(c, store_cap)
     from laser_slam_tpu.ops import range_image as ri
     normals = ri.compute_normals(c, config.icp)
     return c, normals
@@ -94,7 +95,7 @@ def _scan_to_submap_icp(ring_points, ring_mask, ring_normals, ring_rel,
     if config.icp.reading_sampling_ratio < 1.0:
         reading = pc.random_sampling_filter(
             reading, config.icp.reading_sampling_ratio, sample_key)
-    reading = pc.compact(reading, config.icp.reading_capacity)
+    reading = pc.compact_decimate(reading, config.icp.reading_capacity)
 
     return icp_mod.icp_point_to_plane(reading, submap, submap_normals,
                                       initial_guess, config.icp)

@@ -674,6 +674,13 @@ def solve(graph: FactorGraphData, poses, pose_mask,
 
     e0 = graph_error(graph, poses)
     gn_tol = config.gn_tolerance
+    # gn_tolerance compares against the RMS step per ACTIVE pose, not the
+    # global norm: a 10k-pose graph sums 10k tiny deltas into a large
+    # norm, which would defeat the early-out exactly where it pays most.
+    n_active = jnp.maximum(jnp.sum(pose_mask.astype(jnp.float32)), 1.0)
+
+    def _step_rms(delta):
+        return jnp.linalg.norm(delta) / jnp.sqrt(n_active)
 
     if config.method == 'dense':
         # Dense mode re-factors the [6N,6N] normal equations each GN
@@ -688,7 +695,7 @@ def solve(graph: FactorGraphData, poses, pose_mask,
             delta = jnp.nan_to_num(_dense_apply(chol, b)) * lin.free[:, None]
             new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
             new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
-            return new_poses, jnp.int32(1), jnp.linalg.norm(delta)
+            return new_poses, jnp.int32(1), _step_rms(delta)
     else:
         # The preconditioner is built ONCE from the initial linearization
         # and reused across all GN steps: warm-started solves barely move
@@ -705,7 +712,7 @@ def solve(graph: FactorGraphData, poses, pose_mask,
             delta = jnp.nan_to_num(delta) * lin.free[:, None]
             new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
             new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
-            return new_poses, pcg_it, jnp.linalg.norm(delta)
+            return new_poses, pcg_it, _step_rms(delta)
 
     def gn_step(carry, _):
         poses, total, last_delta = carry

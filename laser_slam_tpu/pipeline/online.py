@@ -369,9 +369,10 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     store_cap = f.store_capacity or f.scan_capacity
     if store_cap < scan.points.shape[0]:
         # Shape-level decimation (see InputFilterConfig.store_capacity):
-        # valid points pack first, so this keeps the filtered scan's
-        # spatial distribution while shrinking every downstream scatter.
-        scan = pc.compact(scan, store_cap)
+        # even stride over the packed valid points — a plain compact
+        # would keep only the first beams of a ring-major scan
+        # (cloud.compact_decimate docstring).
+        scan = pc.compact_decimate(scan, store_cap)
     from laser_slam_tpu.ops import range_image as ri
     normals = ri.compute_normals(scan, lt.icp)
 
@@ -445,7 +446,10 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
         if lt.icp.reading_sampling_ratio < 1.0:
             reading = pc.random_sampling_filter(
                 reading, lt.icp.reading_sampling_ratio, sub2)
-        reading = pc.compact(reading, lt.icp.reading_capacity)
+        # Even decimation: prefix-compacting a ring-major beam scan to the
+        # reading budget would keep only the top rings (no ground) and
+        # bias ICP (cloud.compact_decimate docstring).
+        reading = pc.compact_decimate(reading, lt.icp.reading_capacity)
 
         icp_res = icp_mod.icp_point_to_plane(
             reading, submap, submap_normals, rel, lt.icp)

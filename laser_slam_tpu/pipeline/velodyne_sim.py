@@ -107,6 +107,44 @@ def _raycast(scene: BeamScene, origin: np.ndarray,
     return t_best
 
 
+def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([aw * bw - ax * bx - ay * by - az * bz,
+                     aw * bx + ax * bw + ay * bz - az * by,
+                     aw * by - ax * bz + ay * bw + az * bx,
+                     aw * bz + ax * by - ay * bx + az * bw])
+
+
+def _np_compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """pose7 composition a*b, numpy (mirrors ops.se3.compose)."""
+    q = _quat_mul(a[:4], b[:4])
+    t = a[4:] + _quat_to_matrix(a[:4]) @ b[4:]
+    return np.concatenate([q / np.linalg.norm(q), t])
+
+
+def _np_inverse(p: np.ndarray) -> np.ndarray:
+    qc = np.array([p[0], -p[1], -p[2], -p[3]])
+    return np.concatenate([qc, -(_quat_to_matrix(qc) @ p[4:])])
+
+
+def _np_se3_exp(xi: np.ndarray) -> np.ndarray:
+    """pose7 = exp([omega, v]) with the left-Jacobian translation
+    (mirrors ops.se3.exp — rot-first tangent convention)."""
+    w, v = xi[:3], xi[3:]
+    th = np.linalg.norm(w)
+    if th < 1e-9:
+        q = np.array([1.0, 0.5 * w[0], 0.5 * w[1], 0.5 * w[2]])
+        return np.concatenate([q / np.linalg.norm(q), v])
+    axis = w / th
+    q = np.concatenate([[np.cos(th / 2)], np.sin(th / 2) * axis])
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    V = (np.eye(3) + (1 - np.cos(th)) / th * K
+         + (th - np.sin(th)) / th * (K @ K))
+    return np.concatenate([q, V @ v])
+
+
 def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
     w, x, y, z = q
     return np.array([
@@ -168,9 +206,6 @@ class BeamStream:
                  seed: int = 0, period_ns: int = int(1e8),
                  step_m: float = 1.0, laps: int = 1,
                  sensor_height_m: float = 1.5):
-        from laser_slam_tpu.ops import se3
-        import jax.numpy as jnp
-        self._se3, self._jnp = se3, jnp
         self.n_scans = n_scans
         self.trajectory = trajectory
         self.radius_m = radius_m
@@ -217,24 +252,23 @@ class BeamStream:
         return pts
 
     def __iter__(self) -> Iterator[ScanFrame]:
-        se3, jnp = self._se3, self._jnp
+        # Pure numpy odometry chain: keeps the stream jax-free so CPU
+        # baselines can replay it before any jax runtime threads exist.
         odom = None
         prev_gt = None
         for i in range(self.n_scans):
             gt = self.gt_pose(i)
             if prev_gt is None:
-                odom = gt.copy()
+                odom = gt.astype(np.float64)
             else:
-                rel = se3.compose(se3.inverse(jnp.asarray(prev_gt)),
-                                  jnp.asarray(gt))
+                rel = _np_compose(_np_inverse(prev_gt.astype(np.float64)),
+                                  gt.astype(np.float64))
                 if self.odom_noise > 0:
-                    rel = se3.compose(rel, se3.exp(jnp.asarray(
-                        self._rng.normal(size=6).astype(np.float32)
-                        * self.odom_noise)))
-                odom = np.asarray(se3.normalize(
-                    se3.compose(jnp.asarray(odom), rel)))
+                    rel = _np_compose(rel, _np_se3_exp(
+                        self._rng.normal(size=6) * self.odom_noise))
+                odom = _np_compose(odom, rel)
             prev_gt = gt
             yield ScanFrame(time_ns=i * self.period_ns,
-                            odom_pose7=odom.copy(),
+                            odom_pose7=odom.astype(np.float32),
                             points=self.scan_at(gt),
                             gt_pose7=gt)

@@ -271,7 +271,13 @@ class OracleSlam:
     def __init__(self, nscan_in_sub_map=3, odometry_sigmas=None,
                  icp_sigmas=None, prior_sigma=1e-7,
                  loop_closure_sigmas=None, robust_icp=True,
-                 robust_lc=True, knn=10, solver_iterations=3):
+                 robust_lc=True, knn=10, solver_iterations=3,
+                 reading_sampling_ratio=1.0, sampling_seed=0):
+        # reading_sampling_ratio mirrors icp_default.yaml's
+        # RandomSamplingDataPointsFilter prob: 0.5 on the READING only
+        # (submaps stay full) — used by bench.py's CPU e2e baseline.
+        self.reading_ratio = reading_sampling_ratio
+        self._read_rng = np.random.default_rng(sampling_seed)
         self.nscan = nscan_in_sub_map
         self.odo_sig = np.asarray(
             odometry_sigmas if odometry_sigmas is not None
@@ -317,7 +323,11 @@ class OracleSlam:
             sub_map = np.concatenate(sub)
             sub_nrm = np.concatenate(sub_n)
             guess = np.linalg.inv(T_a) @ propagated
-            T_icp, ok = icp_point_to_plane(pts, sub_map, sub_nrm, guess)
+            reading = pts
+            if self.reading_ratio < 1.0:
+                sel = self._read_rng.random(len(pts)) < self.reading_ratio
+                reading = pts[sel]
+            T_icp, ok = icp_point_to_plane(reading, sub_map, sub_nrm, guess)
             self.graph.add_relative(k - 1, k, rel, self.odo_sig)
             if ok:
                 self.graph.add_relative(k - 1, k, T_icp, self.icp_sig,

@@ -192,3 +192,32 @@ class TestFilterChain:
         kept = np.asarray(c.points)[np.asarray(c.mask)]
         assert kept.shape[0] == int((np.abs(pts) <= 5.0).all(axis=1).sum())
         assert np.all(np.abs(kept) <= 5.0)
+
+
+def test_compact_decimate_even_coverage():
+    """compact_decimate spreads an over-capacity structured scan evenly
+    (a ring-major beam scan prefix-compacted would keep only the top
+    rings — the measured 1.5 m KITTI-density drift bug)."""
+    import jax.numpy as jnp
+    n, cap = 4096, 512
+    # 'ring-major' scan: point i's z encodes its ring (i // 64).
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = 10.0
+    pts[:, 2] = np.repeat(np.arange(64), 64).astype(np.float32)
+    mask = np.ones((n,), bool)
+    mask[::7] = False  # some dropouts
+    c = pc.Cloud(jnp.asarray(pts), jnp.asarray(mask))
+    d = pc.compact_decimate(c, cap)
+    assert d.capacity == cap
+    zs = np.asarray(d.points)[np.asarray(d.mask), 2]
+    assert len(zs) == cap
+    # Every ring bucket survives (plain compact would keep rings 0-9).
+    assert len(np.unique(zs)) > 56
+    # Under-capacity case: identity compaction.
+    mask2 = np.zeros((n,), bool)
+    mask2[: cap // 2] = True
+    c2 = pc.Cloud(jnp.asarray(pts), jnp.asarray(mask2))
+    d2 = pc.compact_decimate(c2, cap)
+    assert int(np.asarray(d2.mask).sum()) == cap // 2
+    np.testing.assert_array_equal(np.asarray(d2.points)[: cap // 2],
+                                  pts[: cap // 2])

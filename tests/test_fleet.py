@@ -232,3 +232,44 @@ def test_batched_icp_b64_guard(rng):
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b), atol=1e-6),
         out, want)
+
+
+def test_sharded_graph_solve_matches_single_device(rng):
+    """ICI-sharded pose-graph solve (factor axis over 'gp', psum in PCG,
+    SURVEY §2 table 3): same answer as the single-device solve up to
+    psum reassociation noise."""
+    from laser_slam_tpu.graph import factors as fg
+    from laser_slam_tpu.graph import solver as sv
+
+    assert len(jax.devices()) == 8
+    NP_ = 512
+    g = fg.HostGraph(rel_capacity=1024, prior_capacity=16)
+    poses_np = np.zeros((NP_, 7), np.float32)
+    poses_np[:, 0] = 1.0
+    poses_np[:, 4] = np.arange(NP_)
+    g.add_prior(0, poses_np[0], np.full(6, 1e-7, np.float32))
+    sig = np.full(6, 0.01, np.float32)
+    step7 = np.array([1, 0, 0, 0, 1, 0, 0], np.float32)
+    for i in range(NP_ - 1):
+        g.add_relative(i, i + 1, step7, sig)
+    for i in range(0, NP_ - 64, 96):
+        g.add_relative(i, i + 64,
+                       np.array([1, 0, 0, 0, 64, 0, 0], np.float32), sig)
+    grng = np.random.default_rng(1)
+    poses_np[:, 4:] += grng.normal(size=(NP_, 3)).astype(np.float32) * 0.05
+    mask_np = np.ones((NP_,), bool)
+    data = g.to_device()
+    scfg = SolverConfig(gn_iterations=2, pcg_iterations=12,
+                        pcg_tolerance=0.0, preconditioner='tridiagonal')
+    gmesh = sharding.make_graph_mesh(8)
+    solve_sharded = sharding.sharded_solve(gmesh, scfg)
+    args_g = sharding.shard_graph_inputs(
+        gmesh, data, jnp.asarray(poses_np), jnp.asarray(mask_np))
+    out_sh = solve_sharded(*args_g)
+    dev0 = jax.devices()[0]
+    out_ref = sv.solve(jax.device_put(data, dev0),
+                       jax.device_put(jnp.asarray(poses_np), dev0),
+                       jax.device_put(jnp.asarray(mask_np), dev0), scfg)
+    np.testing.assert_allclose(np.asarray(out_sh.poses),
+                               np.asarray(out_ref.poses), atol=1e-5)
+    assert float(out_sh.error_final) < float(out_sh.error_initial)

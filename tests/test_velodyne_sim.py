@@ -136,3 +136,29 @@ def test_beam_stream_slam(rng):
     # Odometry noise alone would drift several cm/step; ICP on the beam
     # scans must hold the trajectory well under that.
     assert np.mean(errs) < 0.25, errs
+
+
+def test_numpy_se3_helpers_match_ops():
+    """BeamStream's jax-free odometry chain matches ops.se3 exactly."""
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops import se3
+
+    g = np.random.default_rng(5)
+    for _ in range(10):
+        xi = g.normal(size=6) * 0.3
+        a = np.asarray(se3.normalize(jnp.asarray(
+            np.concatenate([g.normal(size=4), g.normal(size=3)])
+            .astype(np.float32))))
+        b = np.asarray(se3.normalize(jnp.asarray(
+            np.concatenate([g.normal(size=4), g.normal(size=3)])
+            .astype(np.float32))))
+        np.testing.assert_allclose(
+            vs._np_se3_exp(xi), np.asarray(se3.exp(jnp.asarray(
+                xi.astype(np.float32)))), atol=1e-5)
+        np.testing.assert_allclose(
+            vs._np_compose(a.astype(np.float64), b.astype(np.float64)),
+            np.asarray(se3.compose(jnp.asarray(a), jnp.asarray(b))),
+            atol=1e-5)
+        inv = vs._np_inverse(a.astype(np.float64))
+        np.testing.assert_allclose(
+            inv, np.asarray(se3.inverse(jnp.asarray(a))), atol=1e-5)

@@ -647,6 +647,54 @@ def _gather_submap(state: OnlineState, archive: ScanArchive,
     return cloud, wnrm.reshape(-1, 3)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('config', 'odometry_free',
+                                    'with_archive'),
+                   donate_argnums=(0, 1))
+def online_chunk(state: OnlineState, archive, points: jax.Array,
+                 n_valid: jax.Array, odom_pose7s: jax.Array,
+                 track_ids: jax.Array, config: EstimatorConfig,
+                 odometry_free: bool = False, with_archive: bool = True):
+    """Integrate C scans in ONE dispatched program (lax.scan over the
+    online step).  points [C,N,3], n_valid [C], odom_pose7s [C,7],
+    track_ids [C].
+
+    Why this exists: over a remote-dispatch transport (the axon tunnel
+    this framework is benched on — and any disaggregated serving setup),
+    per-call overhead scales with the argument pytree's ARRAY COUNT
+    (~0.5-0.7 ms per array handle; the ~40-array OnlineState costs
+    ~20 ms/call pipelined, measured), which dwarfs the ~10 ms of device
+    compute a KITTI-density scan needs.  Scanning C scans inside one
+    program amortizes the marshalling C× while computing bit-identically
+    to C sequential :func:`online_step` calls (same rng path, same
+    donation).  The single-scan path stays for latency-critical live use;
+    this is the replay/serving fast path.
+    """
+    inputs = (points, n_valid, odom_pose7s, track_ids)
+    if with_archive:
+        def body(carry, inp):
+            st, ar = carry
+            pts, nv, od, tid = inp
+            st, info = online_step(st, pts, nv, od, config, tid,
+                                   odometry_free=odometry_free)
+            ar = archive_append(ar, st.ring_points[tid, -1],
+                                st.ring_mask[tid, -1],
+                                st.ring_normals[tid, -1], info.key, tid)
+            return (st, ar), info
+
+        (state, archive), infos = jax.lax.scan(body, (state, archive),
+                                               inputs)
+    else:
+        def body(st, inp):
+            pts, nv, od, tid = inp
+            st, info = online_step(st, pts, nv, od, config, tid,
+                                   odometry_free=odometry_free)
+            return st, info
+
+        state, infos = jax.lax.scan(body, state, inputs)
+    return state, archive, infos
+
+
 @functools.partial(jax.jit, static_argnames=('config', 'use_association'),
                    donate_argnums=(0,))
 def online_loop_closure_refined(state: OnlineState, archive: ScanArchive,
@@ -882,6 +930,89 @@ class OnlineRunner:
         from laser_slam_tpu.core import benchmarker as _bench
         with _bench.scoped_timer('online.process_scan'):
             return self._process_scan(time_ns, points, odom_pose7, track_id)
+
+    def process_scans(self, frames, track_id: int = 0) -> int:
+        """Chunked streaming ingestion: integrate a list of
+        ``(time_ns, points, odom_pose7)`` tuples (or ScanFrame-likes) in
+        ONE device dispatch via :func:`online_chunk`.
+
+        Semantically identical to calling :meth:`process_scan` per frame
+        (same rng path, same factors); the difference is host cost — the
+        per-dispatch argument marshalling (~20 ms for the state pytree
+        over a remote tunnel) is paid once per chunk instead of once per
+        scan.  Use for replay/serving; keep ``process_scan`` for
+        latency-critical one-in-one-out live operation.  Returns the
+        number of scans accepted (min-distance gating applies).
+
+        Not supported with an attached DeviceMapper (its accumulation is
+        per-scan host-sequenced) — falls back to the per-scan path.
+        """
+        frames = [(f.time_ns, f.points, f.odom_pose7)
+                  if hasattr(f, 'points') else f for f in frames]
+        if self.mapper is not None:
+            n = 0
+            for t, p, o in frames:
+                n += bool(self.process_scan(t, p, o, track_id))
+            return n
+
+        from laser_slam_tpu.core import benchmarker as _bench
+        with _bench.scoped_timer('online.process_scans'):
+            accepted = []
+            for t, p, o in frames:
+                if o is None:
+                    if self.use_odometry:
+                        raise ValueError('odometry pose required when '
+                                         'use_odometry_information is set')
+                    o = np.asarray(se3.identity(), np.float32)
+                else:
+                    o = np.asarray(o, np.float32)
+                    last = self._last_odom[track_id]
+                    if (last is not None and self.min_dist > 0
+                            and np.linalg.norm(o[4:] - last[4:])
+                            <= self.min_dist):
+                        continue
+                    self._last_odom[track_id] = o
+                accepted.append((t, p, o))
+            if not accepted:
+                return 0
+            C = len(accepted)
+            first_scan_of_track = track_id not in self._tracks_seen
+            self._tracks_seen.add(track_id)
+            self._ensure_capacity(
+                new_poses=C,
+                new_rels=2 * C - (2 if first_scan_of_track else 0),
+                new_priors=1 if first_scan_of_track else 0)
+            self._n_rel_host += 2 * C - (2 if first_scan_of_track else 0)
+            padded = np.full((C, self.scan_cap, 3), pc.SENTINEL, np.float32)
+            nv = np.zeros((C,), np.int32)
+            odos = np.zeros((C, 7), np.float32)
+            for k, (t, p, o) in enumerate(accepted):
+                pts = np.asarray(p, np.float32)
+                n = min(len(pts), self.scan_cap)
+                padded[k, :n] = pts[:n]
+                nv[k] = n
+                odos[k] = o
+            tids = np.full((C,), track_id, np.int32)
+            archive = self.archive
+            with_archive = archive is not None
+            if not with_archive:
+                archive = init_archive(1, 1, self.n_tracks)
+            self.state, archive, infos = online_chunk(
+                self.state, archive, jnp.asarray(padded), jnp.asarray(nv),
+                jnp.asarray(odos), jnp.asarray(tids), self.config,
+                odometry_free=not self.use_odometry,
+                with_archive=with_archive)
+            if with_archive:
+                self.archive = archive
+            for t, _, _ in accepted:
+                self.key_info.append((track_id, t))
+            if first_scan_of_track:
+                if track_id > 0:
+                    self._prior_slot_of_track[track_id] = self._n_priors_seen
+                self._n_priors_seen += 1
+                self._linked_groups.append([track_id])
+            self._maybe_prefetch_growth()
+            return C
 
     def _process_scan(self, time_ns: int, points: np.ndarray,
                       odom_pose7: Optional[np.ndarray] = None,

@@ -533,3 +533,34 @@ def test_multirobot_submap_full_density(rng):
     tkeys = np.asarray(runner.archive.track_keys)
     ks = tkeys[1, tpos[center] - 3: tpos[center] + 4]
     assert (tid[ks] == 1).all()
+
+
+def test_process_scans_chunk_matches_sequential(rng):
+    """Chunked streaming (online_chunk) is bit-identical to sequential
+    process_scan calls: same rng path, same factors, same archive."""
+    import jax.numpy as jnp
+
+    cfg = make_config()
+    frames = list(replay.SyntheticStream(
+        n_scans=9, points_per_scan=1024, trajectory='line', step_m=0.5,
+        noise_m=0.005, odom_noise=0.005, seed=31))
+    r_seq = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=128,
+                                archive_points=256)
+    r_chk = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=128,
+                                archive_points=256)
+    for f in frames:
+        r_seq.process_scan(f.time_ns, f.points, f.odom_pose7)
+    n = r_chk.process_scans([(f.time_ns, f.points, f.odom_pose7)
+                             for f in frames[:5]])
+    n += r_chk.process_scans(frames[5:])   # ScanFrame-likes accepted too
+    assert n == 9
+    np.testing.assert_array_equal(np.asarray(r_seq.state.traj_poses),
+                                  np.asarray(r_chk.state.traj_poses))
+    np.testing.assert_array_equal(np.asarray(r_seq.state.rel_meas),
+                                  np.asarray(r_chk.state.rel_meas))
+    assert int(r_seq.state.n_rel) == int(r_chk.state.n_rel)
+    np.testing.assert_array_equal(np.asarray(r_seq.archive.points),
+                                  np.asarray(r_chk.archive.points))
+    np.testing.assert_array_equal(np.asarray(r_seq.archive.track_count),
+                                  np.asarray(r_chk.archive.track_count))
+    assert r_seq.key_info == r_chk.key_info

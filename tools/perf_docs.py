@@ -1,0 +1,190 @@
+"""Regenerate the measured-performance blocks in README.md and CLAUDE.md
+from a bench JSON (VERDICT r2 weak #8: perf text must be generated from
+the driver-captured numbers, not hand-edited).
+
+Usage:
+    python tools/perf_docs.py [BENCH_rNN.json | bench_out.json]
+
+With no argument, picks the newest BENCH_r*.json in the repo root.
+Accepts either the driver wrapper format ({"parsed": {...}}) or the raw
+one-line JSON that bench.py prints.  Rewrites the text between
+``<!-- BENCH:BEGIN -->`` / ``<!-- BENCH:END -->`` markers in README.md
+and CLAUDE.md; everything outside the markers is untouched.
+
+Deliberately imports nothing heavy (no jax) so it can run any time.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN, END = '<!-- BENCH:BEGIN -->', '<!-- BENCH:END -->'
+
+
+def load_bench(path):
+    with open(path) as f:
+        data = json.load(f)
+    return data.get('parsed', data)
+
+
+def fmt(x, nd=1):
+    return f'{x:.{nd}f}'.rstrip('0').rstrip('.') if isinstance(x, float) else str(x)
+
+
+def render_readme(m):
+    """Markdown table for README.md from bench-metric dict ``m``."""
+    g = m.get
+    rows = []
+
+    def row(label, text):
+        rows.append(f'| {label} | {text} |')
+
+    if g('tpu_batch32_pairs_per_sec'):
+        t = f"**{fmt(g('tpu_batch32_pairs_per_sec'), 0)}**"
+        if g('cpu_kdtree_pairs_per_sec'):
+            t += (f" (**{fmt(g('tpu_batch32_pairs_per_sec') / g('cpu_kdtree_pairs_per_sec'), 0)}x** CPU"
+                  f" at {fmt(g('cpu_kdtree_pairs_per_sec'), 1)} pairs/s)")
+        row('ICP scan-pairs/s, batched x32 (projective, coarse-to-fine)', t)
+    if g('tpu_projective_pairs_per_sec'):
+        t = fmt(g('tpu_projective_pairs_per_sec'), 0)
+        if g('cpu_kdtree_pairs_per_sec'):
+            t += (f" ({fmt(g('tpu_projective_pairs_per_sec') / g('cpu_kdtree_pairs_per_sec'), 0)}x CPU"
+                  ' single-pair latency)')
+        row('ICP scan-pairs/s, single stream (projective)', t)
+    if g('tpu_pallas_pairs_per_sec'):
+        row('Exact-NN matchers (kd-tree parity)',
+            f"{fmt(g('tpu_pallas_pairs_per_sec'), 0)} pairs/s Pallas VPU kernel"
+            f" / {fmt(g('tpu_brute_pairs_per_sec'), 0)} brute")
+    if g('tpu_e2e_beam16k_scans_per_sec'):
+        t = f"{fmt(g('tpu_e2e_beam16k_scans_per_sec'), 0)} scans/s per-scan dispatch"
+        if g('tpu_e2e_beam16k_chunked_scans_per_sec'):
+            t = (f"**{fmt(g('tpu_e2e_beam16k_chunked_scans_per_sec'), 0)}** scans/s chunked / "
+                 + t)
+        if g('vs_cpu_e2e_16k'):
+            t += f" ({fmt(max(g('vs_cpu_e2e_16k'), g('vs_cpu_e2e_16k_chunked') or 0), 0)}x CPU e2e)"
+        row('End-to-end online SLAM, 16k-pt 64-beam scans', t)
+    if g('tpu_e2e_kitti_density_scans_per_sec'):
+        t = f"{fmt(g('tpu_e2e_kitti_density_scans_per_sec'), 0)} scans/s per-scan dispatch"
+        if g('tpu_e2e_kitti_chunked_scans_per_sec'):
+            t = (f"**{fmt(g('tpu_e2e_kitti_chunked_scans_per_sec'), 0)}** scans/s chunked / "
+                 + t)
+        if g('vs_cpu_e2e_kitti'):
+            t += f" ({fmt(max(g('vs_cpu_e2e_kitti'), g('vs_cpu_e2e_kitti_chunked') or 0), 0)}x CPU e2e)"
+        row('End-to-end at KITTI density (131k-pt, 64-beam)', t)
+    if g('tpu_solve_ms_per_scan_window64') is not None:
+        t = f"{fmt(g('tpu_solve_ms_per_scan_window64'), 2)} ms marginal device cost"
+        if g('cpu_sparse_backsolve_10k_ms'):
+            t += (f" (CPU anchors: {fmt(g('cpu_sparse_factorize_solve_10k_ms'), 0)} ms refactorize"
+                  f" / {fmt(g('cpu_sparse_backsolve_10k_ms'), 1)} ms cached backsolve)")
+        row('Per-scan incremental solve (window=64 slice of 10k-pose graph)', t)
+    if g('tpu_gn_solve_10k_cold_ms'):
+        row('10k-pose graph solve, perturbed init (PCG, converged)',
+            f"{fmt(g('tpu_gn_solve_10k_cold_ms'), 0)} ms cold /"
+            f" {fmt(g('tpu_gn_solve_10k_incremental_ms'), 0)} ms incremental")
+    if g('tpu_fleet256_pairs_per_sec'):
+        row('Fleet mode: 256 parallel scan-to-scan registrations (4k pts)',
+            f"{fmt(g('tpu_fleet256_pairs_per_sec'), 0)} pairs/s")
+    if g('tpu_fleet256_map_queries_per_sec'):
+        row('Fleet mode: 256-lane local-map NN queries (16k-pt maps)',
+            f"{fmt(g('tpu_fleet256_map_queries_per_sec') / 1e6, 1)} M queries/s")
+
+    lines = [
+        f"Measured on `{g('device', 'TPU v5e')}` (driver-captured run; regenerate with",
+        '`python tools/perf_docs.py`):',
+        '',
+        '| Metric | Value |',
+        '|---|---|',
+        *rows,
+    ]
+    if g('tpu_e2e_beam16k_mean_err_m') is not None:
+        lines += [
+            '',
+            f"Trajectory quality on the same runs: {fmt(g('tpu_e2e_beam16k_mean_err_m') * 100, 1)} cm"
+            f" mean error vs ground truth at 16k"
+            + (f", {fmt(g('tpu_e2e_kitti_mean_err_m') * 100, 1)} cm at KITTI density."
+               if g('tpu_e2e_kitti_mean_err_m') is not None else '.'),
+        ]
+    if g('cpu_e2e_scans_per_sec'):
+        lines += [
+            f"CPU end-to-end baseline (float64 oracle pipeline, same frames):"
+            f" {fmt(g('cpu_e2e_scans_per_sec'), 2)} scans/s at 16k /"
+            f" {fmt(g('cpu_e2e_kitti_density_scans_per_sec'), 2)} at KITTI density.",
+        ]
+    lines += [
+        '',
+        'Batched throughput and single-pair latency are different claims: the',
+        'batch-32 ratio is fleet/serving throughput vs one CPU core; the',
+        'single-stream ratio is the robot-on-a-chip latency story.  Both are',
+        'listed above.',
+    ]
+    return '\n'.join(lines)
+
+
+def render_claude(m):
+    """Compact working-notes block for CLAUDE.md."""
+    g = m.get
+    lines = ['(generated by tools/perf_docs.py — do not hand-edit numbers)', '']
+    if g('tpu_batch32_pairs_per_sec'):
+        r = (f" ({fmt(g('tpu_batch32_pairs_per_sec') / g('cpu_kdtree_pairs_per_sec'), 0)}x CPU"
+             f" {fmt(g('cpu_kdtree_pairs_per_sec'), 1)})" if g('cpu_kdtree_pairs_per_sec') else '')
+        lines.append(f"- ICP pairs/s: {fmt(g('tpu_batch32_pairs_per_sec'), 0)} batched x32"
+                     f" / {fmt(g('tpu_projective_pairs_per_sec'), 0)} single (projective){r};"
+                     f" exact-NN {fmt(g('tpu_pallas_pairs_per_sec'), 0)} pallas"
+                     f" / {fmt(g('tpu_brute_pairs_per_sec'), 0)} brute.")
+    if g('tpu_e2e_beam16k_scans_per_sec'):
+        ck16 = (f" ({fmt(g('tpu_e2e_beam16k_chunked_scans_per_sec'), 0)} chunked)"
+                if g('tpu_e2e_beam16k_chunked_scans_per_sec') else '')
+        ckk = (f" ({fmt(g('tpu_e2e_kitti_chunked_scans_per_sec'), 0)} chunked)"
+               if g('tpu_e2e_kitti_chunked_scans_per_sec') else '')
+        lines.append(f"- E2e beam-scan SLAM: {fmt(g('tpu_e2e_beam16k_scans_per_sec'), 0)} scans/s"
+                     f"{ck16} at 16k; {fmt(g('tpu_e2e_kitti_density_scans_per_sec'), 0)} scans/s"
+                     f"{ckk} at KITTI 131k.  CPU e2e baseline"
+                     f" {fmt(g('cpu_e2e_scans_per_sec') or 0, 2)} / "
+                     f"{fmt(g('cpu_e2e_kitti_density_scans_per_sec') or 0, 2)} scans/s.")
+    if g('tpu_gn_solve_10k_cold_ms'):
+        lines.append(f"- Solver: 10k-pose GN {fmt(g('tpu_gn_solve_10k_cold_ms'), 0)} ms cold"
+                     f" / {fmt(g('tpu_gn_solve_10k_incremental_ms'), 0)} ms incremental;"
+                     f" window-64 per-scan marginal {fmt(g('tpu_solve_ms_per_scan_window64'), 2)} ms"
+                     f" (CPU sparse: {fmt(g('cpu_sparse_factorize_solve_10k_ms') or 0, 0)} ms factorize"
+                     f" / {fmt(g('cpu_sparse_backsolve_10k_ms') or 0, 1)} ms backsolve).")
+    if g('tpu_fleet256_pairs_per_sec'):
+        mq = (f"; map queries {fmt(g('tpu_fleet256_map_queries_per_sec') / 1e6, 1)}M/s"
+              if g('tpu_fleet256_map_queries_per_sec') else '')
+        lines.append(f"- Fleet-256 vmap: {fmt(g('tpu_fleet256_pairs_per_sec'), 0)} pairs/s{mq}.")
+    lines.append('- Capacity growth recompiles online_step (~10 s over the tunnel):'
+                 ' pre-size capacities for the run length; growth is the safety'
+                 ' net.  B=64 batched ICP hits an XLA scheduling pathology'
+                 ' (bucketing skips it automatically).')
+    return '\n'.join(lines)
+
+
+def splice(path, text):
+    with open(path) as f:
+        src = f.read()
+    if BEGIN not in src or END not in src:
+        raise SystemExit(f'{path}: missing {BEGIN}/{END} markers')
+    new = re.sub(re.escape(BEGIN) + r'.*?' + re.escape(END),
+                 BEGIN + '\n' + text + '\n' + END, src, flags=re.S)
+    with open(path, 'w') as f:
+        f.write(new)
+    print(f'updated {os.path.relpath(path, ROOT)}')
+
+
+def main():
+    if len(sys.argv) > 1:
+        path = sys.argv[1]
+    else:
+        cands = sorted(glob.glob(os.path.join(ROOT, 'BENCH_r*.json')))
+        if not cands:
+            raise SystemExit('no BENCH_r*.json found')
+        path = cands[-1]
+    print(f'source: {os.path.relpath(path, ROOT)}')
+    m = load_bench(path)
+    splice(os.path.join(ROOT, 'README.md'), render_readme(m))
+    splice(os.path.join(ROOT, 'CLAUDE.md'), render_claude(m))
+
+
+if __name__ == '__main__':
+    main()

@@ -574,17 +574,47 @@ def main():
             - np.stack([f.gt_pose7[4:] for f in beam_frames]), axis=1)
         return rate, float(errs.mean())
 
-    rate16, err16 = run_e2e(beam_cfg(16384, 16384, 512, 256),
-                            frames_16k, n_warm=8)   # 120 timed scans
+    def run_e2e_chunked(cfg, beam_frames, n_warm, chunk=8):
+        """Chunked-streaming variant (process_scans / online_chunk):
+        C scans per device dispatch.  Semantically identical to the
+        per-scan path (test_process_scans_chunk_matches_sequential);
+        measured separately because the win depends on the transport's
+        per-dispatch overhead (experiments/chunked_e2e.py)."""
+        r = online.OnlineRunner(cfg, pose_capacity=2048,
+                                factor_capacity=8192)
+        for f in beam_frames[:n_warm]:
+            r.process_scan(f.time_ns, f.points, f.odom_pose7)
+        timed = beam_frames[n_warm:]
+        timed = timed[:(len(timed) // chunk) * chunk]
+        r.process_scans([(f.time_ns, f.points, f.odom_pose7)
+                         for f in timed[:chunk]])       # compile chunk shape
+        timed = timed[chunk:]
+        jax.block_until_ready(r.state.traj_poses)
+        t0 = time.perf_counter()
+        for k in range(0, len(timed), chunk):
+            r.process_scans([(f.time_ns, f.points, f.odom_pose7)
+                             for f in timed[k:k + chunk]])
+        jax.block_until_ready(r.state.traj_poses)
+        return len(timed) / (time.perf_counter() - t0)
+
+    cfg16 = beam_cfg(16384, 16384, 512, 256)
+    cfgk = beam_cfg(131072, 32768, 1024, 1024)
+    rate16, err16 = run_e2e(cfg16, frames_16k, n_warm=8)  # 120 timed scans
     extras['tpu_e2e_beam16k_scans_per_sec'] = round(rate16, 2)
     extras['tpu_e2e_beam16k_mean_err_m'] = round(err16, 3)
     extras['vs_cpu_e2e_16k'] = round(rate16 / cpu_e2e_16k, 1)
 
-    ratek, errk = run_e2e(beam_cfg(131072, 32768, 1024, 1024),
-                          frames_kitti, n_warm=10)  # 106 timed scans
+    ratek, errk = run_e2e(cfgk, frames_kitti, n_warm=10)  # 106 timed scans
     extras['tpu_e2e_kitti_density_scans_per_sec'] = round(ratek, 2)
     extras['tpu_e2e_kitti_mean_err_m'] = round(errk, 3)
     extras['vs_cpu_e2e_kitti'] = round(ratek / cpu_e2e_kitti, 1)
+
+    rate16c = run_e2e_chunked(cfg16, frames_16k, n_warm=8)
+    extras['tpu_e2e_beam16k_chunked_scans_per_sec'] = round(rate16c, 2)
+    extras['vs_cpu_e2e_16k_chunked'] = round(rate16c / cpu_e2e_16k, 1)
+    ratekc = run_e2e_chunked(cfgk, frames_kitti, n_warm=10)
+    extras['tpu_e2e_kitti_chunked_scans_per_sec'] = round(ratekc, 2)
+    extras['vs_cpu_e2e_kitti_chunked'] = round(ratekc / cpu_e2e_kitti, 1)
 
     # Fleet mode (BASELINE config 5): 256 parallel trajectories on one chip.
     from laser_slam_tpu.parallel import fleet as fleet_mod

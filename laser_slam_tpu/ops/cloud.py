@@ -93,26 +93,39 @@ def concatenate(clouds, capacity: Optional[int] = None) -> Cloud:
     return out
 
 
+def _pack_scatter(cloud: Cloud, capacity: int) -> Cloud:
+    """Order-preserving pack of valid points to the front of a
+    ``capacity``-sized cloud via cumsum + scatter-drop.
+
+    O(N) prefix-sum instead of an argsort: a 131k-key TPU sort is a
+    multi-pass bitonic network (~several ms), while the cumsum+scatter
+    pair is one log-depth scan plus one row scatter (measured swap in
+    compact/compact_decimate: the dominant cost of the KITTI-density
+    ingest stage).  Valid points whose packed position exceeds
+    ``capacity`` are dropped (same tail-drop semantics as sorting then
+    truncating).
+    """
+    mask = cloud.mask
+    dest = jnp.cumsum(mask, axis=-1) - 1           # packed position
+    dest = jnp.where(mask, dest, capacity)         # invalid -> dropped
+    shape = mask.shape[:-1]
+    out_pts = jnp.full(shape + (capacity, 3), SENTINEL, cloud.points.dtype)
+    out_msk = jnp.zeros(shape + (capacity,), bool)
+    out_pts = jnp.put_along_axis(
+        out_pts, jnp.broadcast_to(dest[..., None], cloud.points.shape),
+        cloud.points, axis=-2, inplace=False, mode='drop')
+    out_msk = jnp.put_along_axis(out_msk, dest, mask, axis=-1,
+                                 inplace=False, mode='drop')
+    return Cloud(out_pts, out_msk)
+
+
 def compact(cloud: Cloud, capacity: int) -> Cloud:
     """Pack valid points to the front and resize to ``capacity``.
 
     If more than ``capacity`` points are valid the tail is dropped
     (callers that care should downsample first).
     """
-    order = jnp.argsort(~cloud.mask, stable=True)  # valid first
-    pts = jnp.take(cloud.points, order, axis=-2)
-    msk = jnp.take(cloud.mask, order, axis=-1)
-    n = cloud.capacity
-    if capacity <= n:
-        pts, msk = pts[..., :capacity, :], msk[..., :capacity]
-    else:
-        pad = capacity - n
-        pts = jnp.concatenate(
-            [pts, jnp.full(pts.shape[:-2] + (pad, 3), SENTINEL, pts.dtype)],
-            axis=-2)
-        msk = jnp.concatenate(
-            [msk, jnp.zeros(msk.shape[:-1] + (pad,), bool)], axis=-1)
-    return park_invalid(Cloud(pts, msk))
+    return _pack_scatter(cloud, capacity)
 
 
 def compact_decimate(cloud: Cloud, capacity: int) -> Cloud:
@@ -131,9 +144,8 @@ def compact_decimate(cloud: Cloud, capacity: int) -> Cloud:
     n = cloud.capacity
     if capacity >= n:
         return compact(cloud, capacity)
-    order = jnp.argsort(~cloud.mask, stable=True)   # valid first
-    pts = jnp.take(cloud.points, order, axis=-2)
-    msk = jnp.take(cloud.mask, order, axis=-1)
+    packed = _pack_scatter(cloud, n)                # sort-free pack
+    pts, msk = packed.points, packed.mask
     nv = jnp.sum(cloud.mask, axis=-1)[..., None]    # [...,1]
     i = jnp.arange(capacity)
     # f32 stride avoids i*nv int32 overflow at 131k capacities; rounding

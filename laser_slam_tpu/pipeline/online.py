@@ -121,12 +121,23 @@ def archive_append(archive: ScanArchive, points: jax.Array,
     N = points.shape[0]
     M = archive.points.shape[1]
     if N > M:
-        order = jnp.argsort(~mask, stable=True)
-        # Even spread over the packed range for ANY N >= M (a floor stride
-        # N // M would keep only an azimuth prefix when M < N < 2M).
-        rows = (jnp.arange(M) * N) // M
-        sel = order[rows]
-        pts, msk, nrm = points[sel], mask[sel], normals[sel]
+        # Sort-free pack (cumsum + scatter-drop, see cloud._pack_scatter)
+        # then an even stride over the VALID count — striding over the
+        # full packed range would dilute the archive by the scan's fill
+        # ratio (only ~M*nv/N real points kept), and the argsort it
+        # replaced was a multi-ms bitonic sort at 32k keys.
+        dest = jnp.where(mask, jnp.cumsum(mask) - 1, N)
+        ppts = jnp.full((N, 3), pc.SENTINEL, points.dtype
+                        ).at[dest].set(points, mode='drop')
+        pmsk = jnp.zeros((N,), bool).at[dest].set(mask, mode='drop')
+        pnrm = jnp.zeros((N, 3), normals.dtype
+                         ).at[dest].set(normals, mode='drop')
+        nv = jnp.sum(mask)
+        stride_rows = (jnp.arange(M, dtype=jnp.float32)
+                       * (nv.astype(jnp.float32) / M)).astype(jnp.int32)
+        rows = jnp.where(nv > M, jnp.clip(stride_rows, 0, N - 1),
+                         jnp.arange(M))
+        pts, msk, nrm = ppts[rows], pmsk[rows], pnrm[rows]
     else:
         pad = M - N
         pts = jnp.pad(points, ((0, pad), (0, 0)),

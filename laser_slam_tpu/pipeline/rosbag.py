@@ -315,3 +315,63 @@ class RosbagStream:
                 for _, _, child, pose7 in m.data:
                     if child == self.tf_child_frame:
                         last_odom = pose7
+
+
+class VelodyneBagStream:
+    """Replay a bag of RAW velodyne_msgs/VelodyneScan packets: decode
+    each 1206-byte data packet with the native runtime
+    (``native.decode_velodyne_packets``) and assemble revolutions with
+    motion de-skew (``RevolutionAssembler``) — the full
+    velodyne_assembler node (velodyne_assembler_ros.cpp:57-143) fed
+    straight from the bag, no ROS.
+
+    Yields ``ScanFrame(time_ns, odom_pose7, points)`` per completed
+    revolution; ``elev_deg`` selects the sensor's elevation table
+    (default VLP-16).
+    """
+
+    def __init__(self, path: str, scan_topic: str,
+                 odom_topic: Optional[str] = None,
+                 tf_child_frame: Optional[str] = None,
+                 assembler_config=None, elev_deg=None):
+        self.path = path
+        self.scan_topic = scan_topic
+        self.odom_topic = odom_topic
+        self.tf_child_frame = tf_child_frame
+        self.assembler_config = assembler_config
+        self.elev_deg = elev_deg
+
+    def __iter__(self):
+        from laser_slam_tpu import native
+        from laser_slam_tpu.config import AssemblerConfig
+        from laser_slam_tpu.pipeline.assembler import (Packet,
+                                                       RevolutionAssembler)
+        from laser_slam_tpu.pipeline.replay import ScanFrame
+        asm = RevolutionAssembler(self.assembler_config or AssemblerConfig())
+        elev = (self.elev_deg if self.elev_deg is not None
+                else native.VLP16_ELEV_DEG)
+        topics = {self.scan_topic}
+        if self.odom_topic:
+            topics.add(self.odom_topic)
+        if self.tf_child_frame:
+            topics.update(('/tf', 'tf'))
+        last_odom: Optional[np.ndarray] = None
+        for m in RosbagReader(self.path, topics=topics):
+            if m.topic == self.scan_topic:
+                stamp_ns, pkts = m.data
+                for raw in pkts:
+                    xyz = native.decode_velodyne_packets(raw.tobytes(),
+                                                         elev_deg=elev)
+                    done = asm.push(Packet(time_ns=stamp_ns, points=xyz,
+                                           odom_base_pose7=last_odom))
+                    if done is not None:
+                        t, cloud = done
+                        yield ScanFrame(time_ns=t, odom_pose7=last_odom,
+                                        points=cloud)
+            elif self.odom_topic and m.topic == self.odom_topic:
+                _, _, pose7 = m.data
+                last_odom = pose7
+            elif m.topic in ('/tf', 'tf'):
+                for _, _, child, pose7 in m.data:
+                    if child == self.tf_child_frame:
+                        last_odom = pose7

@@ -942,18 +942,23 @@ class OnlineRunner:
         with _bench.scoped_timer('online.process_scan'):
             return self._process_scan(time_ns, points, odom_pose7, track_id)
 
-    def process_scans(self, frames, track_id: int = 0) -> int:
-        """Chunked streaming ingestion: integrate a list of
-        ``(time_ns, points, odom_pose7)`` tuples (or ScanFrame-likes) in
-        ONE device dispatch via :func:`online_chunk`.
+    def process_scans(self, frames, track_id: int = 0,
+                      chunk_size: int = 8) -> int:
+        """Chunked streaming ingestion: integrate
+        ``(time_ns, points, odom_pose7)`` tuples (or ScanFrame-likes) as
+        ``chunk_size``-scan device dispatches via :func:`online_chunk`
+        (any remainder runs through the per-scan step, so only ONE chunk
+        shape ever compiles regardless of the list length).
 
         Semantically identical to calling :meth:`process_scan` per frame
-        (same rng path, same factors); the difference is host cost — the
-        per-dispatch argument marshalling (~20 ms for the state pytree
-        over a remote tunnel) is paid once per chunk instead of once per
-        scan.  Use for replay/serving; keep ``process_scan`` for
-        latency-critical one-in-one-out live operation.  Returns the
-        number of scans accepted (min-distance gating applies).
+        (same rng path, same factors; enforced by
+        test_process_scans_chunk_matches_sequential); the difference is
+        host cost — per-dispatch argument marshalling is paid once per
+        chunk instead of once per scan, which wins when the transport
+        makes dispatch expensive (measured trade in
+        experiments/chunked_e2e.py; on a local-attached chip the
+        per-scan path pipelines fine and chunking is optional).  Returns
+        the number of scans accepted (min-distance gating applies).
 
         Not supported with an attached DeviceMapper (its accumulation is
         per-scan host-sequenced) — falls back to the per-scan path.
@@ -987,43 +992,55 @@ class OnlineRunner:
             if not accepted:
                 return 0
             C = len(accepted)
-            first_scan_of_track = track_id not in self._tracks_seen
-            self._tracks_seen.add(track_id)
-            self._ensure_capacity(
-                new_poses=C,
-                new_rels=2 * C - (2 if first_scan_of_track else 0),
-                new_priors=1 if first_scan_of_track else 0)
-            self._n_rel_host += 2 * C - (2 if first_scan_of_track else 0)
-            padded = np.full((C, self.scan_cap, 3), pc.SENTINEL, np.float32)
-            nv = np.zeros((C,), np.int32)
-            odos = np.zeros((C, 7), np.float32)
-            for k, (t, p, o) in enumerate(accepted):
-                pts = np.asarray(p, np.float32)
-                n = min(len(pts), self.scan_cap)
-                padded[k, :n] = pts[:n]
-                nv[k] = n
-                odos[k] = o
-            tids = np.full((C,), track_id, np.int32)
-            archive = self.archive
-            with_archive = archive is not None
-            if not with_archive:
-                archive = init_archive(1, 1, self.n_tracks)
-            self.state, archive, infos = online_chunk(
-                self.state, archive, jnp.asarray(padded), jnp.asarray(nv),
-                jnp.asarray(odos), jnp.asarray(tids), self.config,
-                odometry_free=not self.use_odometry,
-                with_archive=with_archive)
-            if with_archive:
-                self.archive = archive
-            for t, _, _ in accepted:
-                self.key_info.append((track_id, t))
-            if first_scan_of_track:
-                if track_id > 0:
-                    self._prior_slot_of_track[track_id] = self._n_priors_seen
-                self._n_priors_seen += 1
-                self._linked_groups.append([track_id])
-            self._maybe_prefetch_growth()
+            chunk_size = max(int(chunk_size), 1)
+            n_chunks = C // chunk_size if chunk_size > 1 else 0
+            for ci in range(n_chunks):
+                self._dispatch_chunk(
+                    accepted[ci * chunk_size:(ci + 1) * chunk_size],
+                    track_id)
+            for t, p, o in accepted[n_chunks * chunk_size:]:
+                self._integrate_one(t, p, o, track_id)
             return C
+
+    def _dispatch_chunk(self, chunk, track_id: int) -> None:
+        """One online_chunk dispatch over pre-gated frames."""
+        C = len(chunk)
+        first_scan_of_track = track_id not in self._tracks_seen
+        self._tracks_seen.add(track_id)
+        self._ensure_capacity(
+            new_poses=C,
+            new_rels=2 * C - (2 if first_scan_of_track else 0),
+            new_priors=1 if first_scan_of_track else 0)
+        self._n_rel_host += 2 * C - (2 if first_scan_of_track else 0)
+        padded = np.full((C, self.scan_cap, 3), pc.SENTINEL, np.float32)
+        nv = np.zeros((C,), np.int32)
+        odos = np.zeros((C, 7), np.float32)
+        for k, (t, p, o) in enumerate(chunk):
+            pts = np.asarray(p, np.float32)
+            n = min(len(pts), self.scan_cap)
+            padded[k, :n] = pts[:n]
+            nv[k] = n
+            odos[k] = o
+        tids = np.full((C,), track_id, np.int32)
+        archive = self.archive
+        with_archive = archive is not None
+        if not with_archive:
+            archive = init_archive(1, 1, self.n_tracks)
+        self.state, archive, infos = online_chunk(
+            self.state, archive, jnp.asarray(padded), jnp.asarray(nv),
+            jnp.asarray(odos), jnp.asarray(tids), self.config,
+            odometry_free=not self.use_odometry,
+            with_archive=with_archive)
+        if with_archive:
+            self.archive = archive
+        for t, _, _ in chunk:
+            self.key_info.append((track_id, t))
+        if first_scan_of_track:
+            if track_id > 0:
+                self._prior_slot_of_track[track_id] = self._n_priors_seen
+            self._n_priors_seen += 1
+            self._linked_groups.append([track_id])
+        self._maybe_prefetch_growth()
 
     def _process_scan(self, time_ns: int, points: np.ndarray,
                       odom_pose7: Optional[np.ndarray] = None,
@@ -1040,7 +1057,14 @@ class OnlineRunner:
                 if np.linalg.norm(odom_pose7[4:] - last[4:]) <= self.min_dist:
                     return False
             self._last_odom[track_id] = odom_pose7
+        return self._integrate_one(time_ns, points, odom_pose7, track_id)
 
+    def _integrate_one(self, time_ns: int, points: np.ndarray,
+                       odom_pose7: np.ndarray, track_id: int = 0) -> bool:
+        """Single online_step dispatch for an already-GATED frame
+        (process_scan applies the min-distance gate; process_scans gates
+        its whole batch up front, so its remainder frames must not be
+        re-gated — the accept loop already advanced _last_odom)."""
         first_scan_of_track = track_id not in self._tracks_seen
         self._tracks_seen.add(track_id)
         self._ensure_capacity(new_poses=1,

@@ -550,9 +550,10 @@ def test_process_scans_chunk_matches_sequential(rng):
                                 archive_points=256)
     for f in frames:
         r_seq.process_scan(f.time_ns, f.points, f.odom_pose7)
+    # chunk of 4 + 1 remainder via the per-scan step, then a chunk of 4
     n = r_chk.process_scans([(f.time_ns, f.points, f.odom_pose7)
-                             for f in frames[:5]])
-    n += r_chk.process_scans(frames[5:])   # ScanFrame-likes accepted too
+                             for f in frames[:5]], chunk_size=4)
+    n += r_chk.process_scans(frames[5:], chunk_size=4)  # ScanFrame-likes too
     assert n == 9
     np.testing.assert_array_equal(np.asarray(r_seq.state.traj_poses),
                                   np.asarray(r_chk.state.traj_poses))

@@ -56,10 +56,8 @@ def _compact_map(m: MapState, voxel_size_m: float) -> MapState:
                     cursor=jnp.sum(c.mask).astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=('config',), donate_argnums=(0,))
-def accumulate_scan(m: MapState, scan_points: jax.Array,
-                    scan_mask: jax.Array, T_w: jax.Array,
-                    config: WorkerConfig) -> MapState:
+def _accumulate(m: MapState, scan_points: jax.Array, scan_mask: jax.Array,
+                T_w: jax.Array, config: WorkerConfig) -> MapState:
     """Append one sensor-frame scan, transformed to world, to the map.
 
     Fixed-shape: the scan's N rows are scattered at ``cursor`` (invalid
@@ -85,6 +83,25 @@ def accumulate_scan(m: MapState, scan_points: jax.Array,
         points=m.points.at[rows].set(world, mode='drop'),
         mask=m.mask.at[rows].set(mask, mode='drop'),
         cursor=jnp.minimum(m.cursor + N, M))
+
+
+accumulate_scan = functools.partial(jax.jit, static_argnames=('config',),
+                                    donate_argnums=(0,))(_accumulate)
+
+
+@functools.partial(jax.jit, static_argnames=('config',), donate_argnums=(0,))
+def accumulate_scans(m: MapState, scan_points: jax.Array,
+                     scan_mask: jax.Array, T_ws: jax.Array,
+                     config: WorkerConfig) -> MapState:
+    """Chunked accumulate: scan C scans ([C,N,3]/[C,N]/[C,7]) into the
+    map in one dispatch — the mapper-side companion of
+    ``online.online_chunk(return_scans=True)``, bit-identical to C
+    sequential :func:`accumulate_scan` calls."""
+    def body(m, x):
+        pts, msk, T = x
+        return _accumulate(m, pts, msk, T, config), None
+    m, _ = jax.lax.scan(body, m, (scan_points, scan_mask, T_ws))
+    return m
 
 
 @functools.partial(jax.jit, static_argnames=('config',),
@@ -194,6 +211,14 @@ class DeviceMapper:
         T_w = online_state.traj_poses[jnp.maximum(key, 0)]
         self.local_maps[track_id] = accumulate_scan(
             self.local_maps[track_id], pts, msk, T_w, self.config)
+
+    def accumulate_chunk(self, scan_points, scan_mask, pose7s,
+                         track_id: int = 0) -> None:
+        """Append a chunk's scans (the ``return_scans`` outputs of
+        ``online.online_chunk``) to ``track_id``'s map in one dispatch."""
+        self.local_maps[track_id] = accumulate_scans(
+            self.local_maps[track_id], scan_points, scan_mask, pose7s,
+            self.config)
 
     def refresh(self, center, track_id: int = 0) -> None:
         """Filter + near/far separation around ``center`` (world [3])."""

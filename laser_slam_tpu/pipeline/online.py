@@ -660,12 +660,13 @@ def _gather_submap(state: OnlineState, archive: ScanArchive,
 
 @functools.partial(jax.jit,
                    static_argnames=('config', 'odometry_free',
-                                    'with_archive'),
+                                    'with_archive', 'return_scans'),
                    donate_argnums=(0, 1))
 def online_chunk(state: OnlineState, archive, points: jax.Array,
                  n_valid: jax.Array, odom_pose7s: jax.Array,
                  track_ids: jax.Array, config: EstimatorConfig,
-                 odometry_free: bool = False, with_archive: bool = True):
+                 odometry_free: bool = False, with_archive: bool = True,
+                 return_scans: bool = False):
     """Integrate C scans in ONE dispatched program (lax.scan over the
     online step).  points [C,N,3], n_valid [C], odom_pose7s [C,7],
     track_ids [C].
@@ -680,30 +681,46 @@ def online_chunk(state: OnlineState, archive, points: jax.Array,
     to C sequential :func:`online_step` calls (same rng path, same
     donation).  The single-scan path stays for latency-critical live use;
     this is the replay/serving fast path.
+
+    ``return_scans``: additionally stack each scan's stored (filtered)
+    points/mask and the pose solved AT THAT STEP — device-resident
+    outputs for a chunked DeviceMapper accumulate (the ring only
+    retains the last nscan_in_sub_map scans, so a post-hoc read cannot
+    recover every chunk scan).  Returns
+    (state, archive, infos[, (scan_pts [C,N,3], scan_msk [C,N],
+    pose7s [C,7])]).
     """
     inputs = (points, n_valid, odom_pose7s, track_ids)
+
+    def step(st, inp):
+        pts, nv, od, tid = inp
+        st, info = online_step(st, pts, nv, od, config, tid,
+                               odometry_free=odometry_free)
+        out = info
+        if return_scans:
+            out = (info, (st.ring_points[tid, -1], st.ring_mask[tid, -1],
+                          st.traj_poses[info.key]))
+        return st, out
+
     if with_archive:
         def body(carry, inp):
             st, ar = carry
-            pts, nv, od, tid = inp
-            st, info = online_step(st, pts, nv, od, config, tid,
-                                   odometry_free=odometry_free)
+            st, out = step(st, inp)
+            info = out[0] if return_scans else out
+            tid = inp[3]
             ar = archive_append(ar, st.ring_points[tid, -1],
                                 st.ring_mask[tid, -1],
                                 st.ring_normals[tid, -1], info.key, tid)
-            return (st, ar), info
+            return (st, ar), out
 
-        (state, archive), infos = jax.lax.scan(body, (state, archive),
-                                               inputs)
+        (state, archive), outs = jax.lax.scan(body, (state, archive),
+                                              inputs)
     else:
-        def body(st, inp):
-            pts, nv, od, tid = inp
-            st, info = online_step(st, pts, nv, od, config, tid,
-                                   odometry_free=odometry_free)
-            return st, info
-
-        state, infos = jax.lax.scan(body, state, inputs)
-    return state, archive, infos
+        state, outs = jax.lax.scan(step, state, inputs)
+    if return_scans:
+        infos, scans = outs
+        return state, archive, infos, scans
+    return state, archive, outs
 
 
 @functools.partial(jax.jit, static_argnames=('config', 'use_association'),
@@ -960,17 +977,13 @@ class OnlineRunner:
         per-scan path pipelines fine and chunking is optional).  Returns
         the number of scans accepted (min-distance gating applies).
 
-        Not supported with an attached DeviceMapper (its accumulation is
-        per-scan host-sequenced) — falls back to the per-scan path.
+        An attached DeviceMapper accumulates chunk scans in one extra
+        dispatch per chunk (online_chunk's ``return_scans`` outputs feed
+        ``DeviceMapper.accumulate_chunk`` — device-resident end to end,
+        same per-step poses as the sequential path).
         """
         frames = [(f.time_ns, f.points, f.odom_pose7)
                   if hasattr(f, 'points') else f for f in frames]
-        if self.mapper is not None:
-            n = 0
-            for t, p, o in frames:
-                n += bool(self.process_scan(t, p, o, track_id))
-            return n
-
         from laser_slam_tpu.core import benchmarker as _bench
         with _bench.scoped_timer('online.process_scans'):
             accepted = []
@@ -1026,11 +1039,17 @@ class OnlineRunner:
         with_archive = archive is not None
         if not with_archive:
             archive = init_archive(1, 1, self.n_tracks)
-        self.state, archive, infos = online_chunk(
+        out = online_chunk(
             self.state, archive, jnp.asarray(padded), jnp.asarray(nv),
             jnp.asarray(odos), jnp.asarray(tids), self.config,
             odometry_free=not self.use_odometry,
-            with_archive=with_archive)
+            with_archive=with_archive,
+            return_scans=self.mapper is not None)
+        if self.mapper is not None:
+            self.state, archive, infos, scans = out
+            self.mapper.accumulate_chunk(*scans, track_id=track_id)
+        else:
+            self.state, archive, infos = out
         if with_archive:
             self.archive = archive
         for t, _, _ in chunk:

@@ -535,6 +535,35 @@ def test_multirobot_submap_full_density(rng):
     assert (tid[ks] == 1).all()
 
 
+def test_process_scans_chunked_mapper_matches_sequential(rng):
+    """A DeviceMapper attached to the chunked path accumulates the SAME
+    map as per-scan accumulation (online_chunk return_scans +
+    accumulate_scans vs accumulate_scan per step)."""
+    from laser_slam_tpu.config import WorkerConfig
+    cfg = make_config()
+    map_cfg = WorkerConfig(local_map_capacity=1 << 14, voxel_size_m=0.2)
+    frames = list(replay.SyntheticStream(
+        n_scans=7, points_per_scan=1024, trajectory='line', step_m=0.5,
+        noise_m=0.004, odom_noise=0.004, seed=33))
+    r_seq = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=128,
+                                map_config=map_cfg)
+    r_chk = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=128,
+                                map_config=map_cfg)
+    for f in frames:
+        r_seq.process_scan(f.time_ns, f.points, f.odom_pose7)
+    n = r_chk.process_scans(frames, chunk_size=3)   # 2 chunks + 1 single
+    assert n == 7
+    np.testing.assert_array_equal(np.asarray(r_seq.state.traj_poses),
+                                  np.asarray(r_chk.state.traj_poses))
+    np.testing.assert_array_equal(
+        np.asarray(r_seq.mapper.local.points),
+        np.asarray(r_chk.mapper.local.points))
+    np.testing.assert_array_equal(
+        np.asarray(r_seq.mapper.local.mask),
+        np.asarray(r_chk.mapper.local.mask))
+    assert int(r_seq.mapper.local.cursor) == int(r_chk.mapper.local.cursor)
+
+
 def test_process_scans_chunk_matches_sequential(rng):
     """Chunked streaming (online_chunk) is bit-identical to sequential
     process_scan calls: same rng path, same factors, same archive."""

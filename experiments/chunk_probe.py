@@ -67,67 +67,45 @@ def main():
     print(f'per-scan per-call-sync: {run_per_scan(True):7.1f} scans/s',
           flush=True)
 
-    # --- chunked: device-only cost (inputs pre-staged on device) -----
-    for C in (8, 16):
-        r = online.OnlineRunner(cfg, pose_capacity=2048,
-                                factor_capacity=8192)
-        for f in frames[:8]:
-            r.process_scan(f.time_ns, f.points, f.odom_pose7)
-        # stage one chunk's inputs on device
+    # --- chunked: device-only cost, DISTINCT staged chunks -----------
+    # (repeating one chunk converges ICP/GN instantly — the early-exit
+    # while_loops collapse and the timing is meaningless; first run of
+    # this probe measured 0.14 ms/chunk that way.)
+    from laser_slam_tpu.pipeline.online import init_archive, online_chunk
+
+    def stage(chunk_frames, C):
         padded = np.full((C, 16384, 3), 1e6, np.float32)
         nv = np.zeros((C,), np.int32)
         odos = np.zeros((C, 7), np.float32)
-        for k, f in enumerate(frames[8:8 + C]):
+        for k, f in enumerate(chunk_frames):
             pts = np.asarray(f.points, np.float32)
             n = min(len(pts), 16384)
             padded[k, :n] = pts[:n]
             nv[k] = n
             odos[k] = f.odom_pose7
-        tids = jnp.zeros((C,), jnp.int32)
-        dp, dnv, dod = (jax.device_put(x) for x in (padded, nv, odos))
-        from laser_slam_tpu.pipeline.online import init_archive, online_chunk
-        st = r.state
+        return (jax.device_put(padded), jax.device_put(nv),
+                jax.device_put(odos), jnp.zeros((C,), jnp.int32))
+
+    for C in (8, 16):
+        r = online.OnlineRunner(cfg, pose_capacity=2048,
+                                factor_capacity=8192)
+        for f in frames[:8]:
+            r.process_scan(f.time_ns, f.points, f.odom_pose7)
+        chunks = [stage(frames[8 + i * C:8 + (i + 1) * C], C)
+                  for i in range((len(frames) - 8) // C)]
         ar = init_archive(1, 1, 1)
-        st2, ar, _ = online_chunk(st, ar, dp, dnv, dod, tids, r.config,
+        cur, ar, _ = online_chunk(r.state, ar, *chunks[0], r.config,
                                   odometry_free=False, with_archive=False)
-        jax.block_until_ready(st2.traj_poses)       # compiled
-        # donation consumed st; run repeatedly by ping-ponging state
-        reps = 6
+        jax.block_until_ready(cur.traj_poses)       # compiled
         t0 = time.perf_counter()
-        cur = st2
-        for i in range(reps):
-            cur, ar, _ = online_chunk(cur, ar, dp, dnv, dod, tids, r.config,
+        for ch in chunks[1:]:
+            cur, ar, _ = online_chunk(cur, ar, *ch, r.config,
                                       odometry_free=False,
                                       with_archive=False)
         jax.block_until_ready(cur.traj_poses)
-        dt = (time.perf_counter() - t0) / reps
-        print(f'chunk C={C:2d} device+dispatch: {dt*1e3:7.2f} ms/chunk '
+        dt = (time.perf_counter() - t0) / (len(chunks) - 1)
+        print(f'chunk C={C:2d} staged distinct: {dt*1e3:7.2f} ms/chunk '
               f'= {dt/C*1e3:6.2f} ms/scan ({C/dt:7.1f} scans/s)', flush=True)
-
-    # --- single online_step device-only, same staging ----------------
-    r = online.OnlineRunner(cfg, pose_capacity=2048, factor_capacity=8192)
-    for f in frames[:8]:
-        r.process_scan(f.time_ns, f.points, f.odom_pose7)
-    f = frames[8]
-    pts = np.asarray(f.points, np.float32)
-    padded = np.full((16384, 3), 1e6, np.float32)
-    padded[:len(pts)] = pts[:16384]
-    dp = jax.device_put(padded)
-    dnv = jnp.int32(len(pts))
-    dod = jax.device_put(np.asarray(f.odom_pose7, np.float32))
-    st, info = online.online_step(r.state, dp, dnv, dod, r.config, 0,
-                                  odometry_free=False)
-    jax.block_until_ready(st.traj_poses)
-    reps = 24
-    t0 = time.perf_counter()
-    cur = st
-    for i in range(reps):
-        cur, info = online.online_step(cur, dp, dnv, dod, r.config, 0,
-                                       odometry_free=False)
-    jax.block_until_ready(cur.traj_poses)
-    dt = (time.perf_counter() - t0) / reps
-    print(f'single online_step staged: {dt*1e3:6.2f} ms/scan '
-          f'({1/dt:7.1f} scans/s)', flush=True)
 
 
 if __name__ == '__main__':

@@ -12,7 +12,8 @@ CHUNKS=(
   "tests/test_icp.py tests/test_pallas_nn.py tests/test_benchmarker.py"
   "tests/test_solver.py tests/test_track_estimator.py"
   "tests/test_worker.py tests/test_checkpoint.py tests/test_pipeline_tools.py"
-  "tests/test_online.py tests/test_fleet.py"
+  "tests/test_online.py"
+  "tests/test_fleet.py tests/test_rosbag.py"
   "tests/test_parity.py tests/test_kitti.py tests/test_native_io.py"
 )
 fail=0

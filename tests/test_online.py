@@ -535,6 +535,45 @@ def test_multirobot_submap_full_density(rng):
     assert (tid[ks] == 1).all()
 
 
+def test_process_scans_multitrack_matches_sequential(rng):
+    """Interleaved multi-robot ingestion through the chunked path (one
+    track per call) matches the sequential path: per-track priors,
+    linked groups and rel-factor bookkeeping all line up."""
+    cfg = make_config()
+    fa = list(replay.SyntheticStream(n_scans=6, points_per_scan=1024,
+                                     trajectory='line', step_m=0.5,
+                                     noise_m=0.004, odom_noise=0.004,
+                                     seed=71))
+    fb = list(replay.SyntheticStream(n_scans=6, points_per_scan=1024,
+                                     trajectory='line', step_m=0.4,
+                                     noise_m=0.004, odom_noise=0.004,
+                                     seed=72))
+    r_seq = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=128,
+                                n_tracks=2)
+    r_chk = online.OnlineRunner(cfg, pose_capacity=32, factor_capacity=128,
+                                n_tracks=2)
+    # Same global ingestion order for both runs (keys are assigned in
+    # arrival order): track0 x3, track1 x3, track0 x3, track1 x3.
+    for i in (0, 3):
+        for f in fa[i:i + 3]:
+            r_seq.process_scan(f.time_ns, f.points, f.odom_pose7,
+                               track_id=0)
+        for f in fb[i:i + 3]:
+            r_seq.process_scan(f.time_ns, f.points, f.odom_pose7,
+                               track_id=1)
+        r_chk.process_scans(fa[i:i + 3], track_id=0, chunk_size=3)
+        r_chk.process_scans(fb[i:i + 3], track_id=1, chunk_size=3)
+    np.testing.assert_array_equal(np.asarray(r_seq.state.traj_poses),
+                                  np.asarray(r_chk.state.traj_poses))
+    np.testing.assert_array_equal(np.asarray(r_seq.state.prior_keys),
+                                  np.asarray(r_chk.state.prior_keys))
+    np.testing.assert_array_equal(np.asarray(r_seq.state.rel_keys),
+                                  np.asarray(r_chk.state.rel_keys))
+    assert int(r_seq.state.n_prior) == int(r_chk.state.n_prior) == 2
+    assert r_seq._linked_groups == r_chk._linked_groups
+    assert r_seq._prior_slot_of_track == r_chk._prior_slot_of_track
+
+
 def test_process_scans_chunked_mapper_matches_sequential(rng):
     """A DeviceMapper attached to the chunked path accumulates the SAME
     map as per-scan accumulation (online_chunk return_scans +

@@ -7,6 +7,15 @@
 # and has been stable.  Usage:  bash tests/run_suite.sh [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
+# Tests are CPU-only (conftest forces JAX_PLATFORMS=cpu), so never register
+# the axon TPU plugin in test interpreters: with PALLAS_AXON_POOL_IPS set,
+# the sitecustomize calls axon register() at interpreter startup, which
+# (a) loads the plugin implicated in the flaky XLA:CPU segfaults and
+# (b) HANGS every python startup indefinitely whenever the TPU tunnel is
+# down.  Unsetting it here makes test runs independent of tunnel health.
+export -n PALLAS_AXON_POOL_IPS 2>/dev/null || true
+unset PALLAS_AXON_POOL_IPS
+export JAX_PLATFORMS=cpu
 CHUNKS=(
   "tests/test_se3.py tests/test_cloud.py tests/test_neighbors.py tests/test_range_image.py"
   "tests/test_icp.py tests/test_pallas_nn.py tests/test_benchmarker.py"

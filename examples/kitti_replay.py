@@ -87,10 +87,20 @@ def main():
 
     traj = runner.trajectory()
     if gts:
-        errs = [np.linalg.norm(traj[t][4:] - gts[t][4:])
-                for t in traj if t in gts]
-        print(f'ATE vs KITTI poses: mean {np.mean(errs):.3f} m, '
-              f'max {np.max(errs):.3f} m over {len(errs)} poses')
+        from laser_slam_tpu.core import evaluation as ev
+        # align='none': KITTI ground truth and the runner share the first
+        # pose as origin, and unaligned ATE is the honest SLAM error.
+        res = ev.ate(traj, gts, align='none')
+        print(f'ATE vs KITTI poses: mean {res.translation.mean:.3f} m, '
+              f'max {res.translation.max:.3f} m over {res.translation.n} '
+              f'poses (rmse {res.translation.rmse:.3f} m, rot mean '
+              f'{res.rotation_deg.mean:.3f} deg)')
+        try:
+            rpe = ev.rpe(traj, gts, delta=10.0, delta_unit='m')
+            print(f'RPE per 10 m: {rpe.translation.mean * 100:.2f}% trans, '
+                  f'{rpe.rotation_deg.mean:.3f} deg')
+        except ValueError:
+            pass  # trajectory shorter than the 10 m delta
 
     if args.traj_out:
         rows = np.asarray([[t, *traj[t][4:]] for t in sorted(traj)])

@@ -653,6 +653,24 @@ def main():
     extras['tpu_fleet256_pairs_per_sec'] = round(
         pair_count / (time.perf_counter() - t0), 1)
 
+    # Place recognition (in-tree segmatch replacement): scan-context
+    # queries/s against a 4096-entry descriptor database — one einsum
+    # scores every (entry, rotation) pair, so no candidate prefilter.
+    from laser_slam_tpu.ops import scan_context as sc_mod
+    sc_db = jnp.asarray(rng.random((4096, 20, 60), np.float32))
+    sc_keys = jnp.arange(4096, dtype=jnp.int32)
+    sc_scan = jnp.asarray(readings_np[0])
+    sc_mask = jnp.ones((READ_N,), bool)
+    jax.block_until_ready(sc_mod.descriptor_and_query(
+        sc_db, sc_keys, sc_scan, sc_mask, jnp.int32(4096))[1])
+    t0 = time.perf_counter()
+    outs_sc = [sc_mod.descriptor_and_query(
+        sc_db, sc_keys, jnp.asarray(readings_np[i % N_SOLVES]), sc_mask,
+        jnp.int32(4096))[1] for i in range(16)]
+    jax.block_until_ready(outs_sc)
+    extras['tpu_scan_context_queries_per_sec'] = round(
+        16 / (time.perf_counter() - t0), 1)
+
     # Fleet local-map NN queries (the second half of BASELINE config 5):
     # 256 per-lane world-frame maps (16k points each), exact batched 1-NN
     # of 4096 queries per lane — one vmapped MXU distance-product program.

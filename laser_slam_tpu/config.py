@@ -319,6 +319,52 @@ class AssemblerConfig:
 
 
 @dataclass(frozen=True)
+class PlaceRecognitionConfig:
+    """Scan-context loop-closure detection (ops/scan_context.py).
+
+    The reference has no detector of its own — loop closures arrive from
+    the external segmatch node (incremental_estimator.cpp:63).  This
+    in-tree detector makes the framework self-contained; attach it to an
+    OnlineRunner via the ``place_recognition`` constructor argument.
+    """
+    n_rings: int = 20
+    n_sectors: int = 60
+    max_radius_m: float = 80.0
+    z_offset_m: float = 2.0              # keeps ground returns positive
+    # Accept a match when the best scan-context distance is below this
+    # (0 identical, ~1 unrelated).  True revisits score ~0.01-0.03 on
+    # the synthetic room; rotationally aliased views (square rooms,
+    # corridors — same geometry, different place) can score ~0.05-0.08,
+    # so candidates are ICP-verified below (the primary rejector).
+    # Running WITHOUT a scan archive disables verification — tighten
+    # this to ~0.05 there.
+    distance_threshold: float = 0.20
+    # Database entries within this many global keys of the query are
+    # excluded (temporal neighbors always match).
+    exclude_recent_keys: int = 30
+    # Query cadence: every Nth added scan.  Each query ends with a small
+    # device->host fetch that BLOCKS on the dispatched stream — on a
+    # high-latency link (CLAUDE.md: ~30 ms D2H) raise this to amortize.
+    detect_every: int = 2
+    # Cooldown after an accepted detection: while revisiting a stretch of
+    # old trajectory EVERY scan matches the previous lap, and one closure
+    # per ~cooldown keys constrains the graph as well as one per scan
+    # without paying a full solve each step.
+    min_keys_between_detections: int = 10
+    # Geometric verification (needs the runner's scan archive): candidate
+    # closures are submap-ICP-scored and rejected unless ICP converges
+    # with at least this trimmed-inlier fraction of the reading and at
+    # most this mean point-to-plane residual.  The descriptor stage alone
+    # is subject to perceptual aliasing (a rotationally symmetric room
+    # matches its own mirror view); the ICP gate is what keeps aliased
+    # candidates out of the graph.
+    verify_with_icp: bool = True
+    min_inlier_fraction: float = 0.3     # ceiling = trimmed_dist_ratio
+    max_mean_residual_m: float = 0.3
+    db_capacity: int = 1024              # initial slots; doubles when full
+
+
+@dataclass(frozen=True)
 class Config:
     """Top-level framework configuration."""
     estimator: EstimatorConfig = field(default_factory=EstimatorConfig)

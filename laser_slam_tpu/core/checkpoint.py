@@ -97,16 +97,24 @@ def save_online_checkpoint(path: str, runner) -> None:
                            (f'md{t}_', runner.mapper.distant_maps[t])):
                 for name, leaf in m._asdict().items():
                     data[pre + name] = np.asarray(leaf)
+    if getattr(runner, 'detector', None) is not None:
+        data['pr_db'] = np.asarray(runner.detector.db)
+        data['pr_keys'] = np.asarray(runner.detector.db_keys)
+        data['pr_n'] = np.int64(runner.detector.n)
+    data['detections'] = np.asarray(
+        getattr(runner, 'detections', []), np.float64).reshape(-1, 4)
     np.savez_compressed(path, **data)
 
 
-def load_online_checkpoint(path: str, config, map_config=None):
+def load_online_checkpoint(path: str, config, map_config=None,
+                           place_recognition=None):
     """Rebuild an ``OnlineRunner`` from :func:`save_online_checkpoint`.
 
     ``config`` must be the run's ``EstimatorConfig`` (capacities are taken
     from the checkpoint arrays themselves, so a grown state restores at
     its grown size).  Pass the run's ``map_config`` (WorkerConfig) to
-    restore an attached device map.
+    restore an attached device map, and its ``place_recognition``
+    (PlaceRecognitionConfig) to restore the scan-context database.
     """
     import jax
     from laser_slam_tpu.pipeline import online
@@ -174,6 +182,24 @@ def load_online_checkpoint(path: str, config, map_config=None):
             runner.mapper.distant_maps[t] = device_map.MapState(**{
                 name: jnp.asarray(z[dp + name])
                 for name in device_map.MapState._fields})
+    runner.detector = None
+    runner.detections = ([(int(r[0]), int(r[1]), float(r[2]), float(r[3]))
+                          for r in z['detections']]
+                         if 'detections' in z else [])
+    runner.rejected_detections = []
+    if 'pr_db' in z and place_recognition is None:
+        raise ValueError(
+            'checkpoint contains a place-recognition database but '
+            'place_recognition is None; pass the run\'s '
+            'PlaceRecognitionConfig (resuming without it would silently '
+            'stop detecting loop closures)')
+    if 'pr_db' in z:
+        from laser_slam_tpu.pipeline.place_recognition import (
+            ScanContextDetector)
+        runner.detector = ScanContextDetector(place_recognition)
+        runner.detector.db = jnp.asarray(z['pr_db'])
+        runner.detector.db_keys = jnp.asarray(z['pr_keys'])
+        runner.detector.n = int(z['pr_n'])
     runner.min_dist = float(z['min_dist'])
     runner.scan_cap = int(z['scan_cap'])
     runner._n_rel_host = int(z['n_rel_host'])

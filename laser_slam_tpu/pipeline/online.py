@@ -757,6 +757,41 @@ def online_loop_closure_refined(state: OnlineState, archive: ScanArchive,
                                 icp_inliers=icp_res.num_inliers)
 
 
+@functools.partial(jax.jit, static_argnames=('config',))
+def verify_closure(state: OnlineState, archive: ScanArchive,
+                   key_a: jax.Array, key_b: jax.Array, w_T_a_b: jax.Array,
+                   config: EstimatorConfig) -> jax.Array:
+    """Geometric verification of a loop-closure CANDIDATE (no state
+    change): submap ICP from the candidate alignment, scored by fit.
+
+    The reference trusts whatever segmatch sends (processLoopClosure has
+    no rejection path, incremental_estimator.cpp:63-149); with in-tree
+    detection a gate is required — descriptor matching is subject to
+    perceptual aliasing (rotationally symmetric rooms, corridors), and a
+    wrong closure corrupts the graph.  A truly co-located pair has high
+    submap overlap (large trimmed-inlier fraction, small residual); an
+    aliased pair tens of metres away has next to none.
+
+    Returns [4] f32: (icp_valid, mean |p2pl residual| m, inlier fraction
+    of the reading, reading point count)."""
+    R = config.loop_closures_sub_maps_radius
+    T_w_a = state.traj_poses[key_a]
+    T_w_b = state.traj_poses[key_b]
+    guess = se3.compose(se3.inverse(T_w_a),
+                        se3.compose(se3.normalize(w_T_a_b), T_w_b))
+    submap_a, normals_a = _gather_submap(state, archive, key_a,
+                                         se3.inverse(T_w_a), R)
+    submap_b, _ = _gather_submap(state, archive, key_b,
+                                 se3.inverse(T_w_b), R)
+    reading = pc.compact(submap_b, config.laser_track.icp.reading_capacity)
+    res = icp_mod.icp_point_to_plane(reading, submap_a, normals_a, guess,
+                                     config.laser_track.icp)
+    n_read = jnp.maximum(jnp.sum(reading.mask), 1).astype(jnp.float32)
+    frac = res.num_inliers.astype(jnp.float32) / n_read
+    return jnp.stack([res.valid.astype(jnp.float32), res.mean_error,
+                      frac, n_read])
+
+
 def extract_trajectory(state: OnlineState) -> np.ndarray:
     """One bulk device->host transfer: the valid trajectory [n,7]."""
     n = int(state.n_poses)
@@ -775,14 +810,19 @@ class OnlineRunner:
                  minimum_distance_to_add_pose: float = 0.0, seed: int = 0,
                  n_tracks: int = 1, archive_points: int = 0,
                  use_odometry_information: bool = True,
-                 map_config=None):
+                 map_config=None, place_recognition=None):
         """``archive_points`` > 0 keeps a per-key downsampled scan archive
         on device and enables submap-ICP refinement of loop closures when
         ``config.do_icp_step_on_loop_closures`` is set.
         ``use_odometry_information=False`` switches to the constant-
         velocity odometry-free mode (pass ``odom_pose7=None`` to
         process_scan).  ``map_config`` (a WorkerConfig) attaches a
-        device-resident local/distant map (pipeline.device_map)."""
+        device-resident local/distant map (pipeline.device_map).
+        ``place_recognition`` (a PlaceRecognitionConfig) attaches the
+        in-tree scan-context detector: loop closures are then DETECTED
+        and injected automatically (pipeline.place_recognition replaces
+        the reference's external segmatch node); pair with
+        ``archive_points`` so detections get submap-ICP refinement."""
         self.config = config
         self.n_tracks = n_tracks
         self.state = init_state(config, pose_capacity, factor_capacity,
@@ -796,6 +836,15 @@ class OnlineRunner:
         if map_config is not None:
             from laser_slam_tpu.pipeline.device_map import DeviceMapper
             self.mapper = DeviceMapper(map_config, n_tracks=n_tracks)
+        self.detector = None
+        self.detections: list = []       # (key_a, key_b, distance, yaw)
+        # Candidates that failed ICP verification:
+        # (key_a, key_b, distance, inlier_fraction, mean_residual_m).
+        self.rejected_detections: list = []
+        if place_recognition is not None:
+            from laser_slam_tpu.pipeline.place_recognition import (
+                ScanContextDetector)
+            self.detector = ScanContextDetector(place_recognition)
         self._last_odom: list = [None] * n_tracks
         # (track_id, time_ns) per key, in key order.
         self.key_info: list = []
@@ -1007,6 +1056,11 @@ class OnlineRunner:
             C = len(accepted)
             chunk_size = max(int(chunk_size), 1)
             n_chunks = C // chunk_size if chunk_size > 1 else 0
+            if self.detector is not None:
+                # Place recognition queries/adds per scan (the detector's
+                # temporal-exclusion and injection points are per-key);
+                # chunked dispatch would skip them, so fall back.
+                n_chunks = 0
             for ci in range(n_chunks):
                 self._dispatch_chunk(
                     accepted[ci * chunk_size:(ci + 1) * chunk_size],
@@ -1115,8 +1169,56 @@ class OnlineRunner:
                 self._prior_slot_of_track[track_id] = self._n_priors_seen
             self._n_priors_seen += 1
             self._linked_groups.append([track_id])
+        if self.detector is not None:
+            self._pr_scan(track_id, len(self.key_info) - 1)
         self._maybe_prefetch_growth()
         return True
+
+    def _pr_scan(self, track_id: int, key: int) -> None:
+        """Feed the newest filtered scan (sensor frame, already on device
+        in the submap ring) to the scan-context detector; on a match,
+        inject the loop closure through the standard path (yaw guess ->
+        optional submap-ICP refinement -> factor + solve)."""
+        pts = self.state.ring_points[track_id, -1]
+        msk = self.state.ring_mask[track_id, -1]
+        pr_cfg = self.detector.config
+        cooldown = (self.detections and
+                    key - self.detections[-1][1]
+                    < pr_cfg.min_keys_between_detections)
+        do_query = (key % max(pr_cfg.detect_every, 1) == 0
+                    and self.detector.n > 0 and not cooldown)
+        if not do_query:
+            self.detector.add(pts, msk, key)
+            return
+        det = self.detector.query(pts, msk, key, add=True)
+        if det is None:
+            return
+        # w_T_a_b from the current estimates and the matched yaw:
+        # a_T_a_b ~= Rz(yaw) (same place, heading differs), and the
+        # estimator converts back via T_w_a^-1 . w_T_a_b . T_w_b
+        # (incremental_estimator.cpp:83-87) — so
+        # w_T_a_b = T_w_a . Rz(yaw) . T_w_b^-1.
+        pair = np.asarray(self.state.traj_poses[
+            jnp.asarray([det.key, key])])
+        half = 0.5 * det.yaw_rad
+        rz = np.array([np.cos(half), 0.0, 0.0, np.sin(half),
+                       0.0, 0.0, 0.0], np.float32)
+        w_T_a_b = np.asarray(se3.compose(
+            jnp.asarray(pair[0]),
+            se3.compose(jnp.asarray(rz),
+                        se3.inverse(jnp.asarray(pair[1])))))
+        if pr_cfg.verify_with_icp and self.archive is not None:
+            ok, mean_err, frac, _ = np.asarray(verify_closure(
+                self.state, self.archive, jnp.int32(det.key),
+                jnp.int32(key), jnp.asarray(w_T_a_b), self.config))
+            if not (ok > 0.5 and frac >= pr_cfg.min_inlier_fraction
+                    and mean_err <= pr_cfg.max_mean_residual_m):
+                self.rejected_detections.append(
+                    (det.key, key, det.distance, float(frac),
+                     float(mean_err)))
+                return
+        self.detections.append((det.key, key, det.distance, det.yaw_rad))
+        self.add_loop_closure(det.key, key, w_T_a_b)
 
     def add_loop_closure(self, key_a: int, key_b: int,
                          w_T_a_b: np.ndarray) -> None:

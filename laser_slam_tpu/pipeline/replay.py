@@ -45,9 +45,15 @@ class SyntheticStream:
                  world_size_m: float = 60.0, noise_m: float = 0.01,
                  odom_noise: float = 0.0, seed: int = 0,
                  period_ns: int = int(1e8), step_m: float = 1.0,
-                 world_points: int = 65536, laps: int = 1):
+                 world_points: int = 65536, laps: int = 1,
+                 center_m: tuple = (0.0, 0.0)):
+        """``center_m`` offsets the circle trajectory from the room
+        center — an off-center loop breaks the square room's exact
+        180-degree rotational symmetry (place-recognition tests need
+        opposite viewpoints to be distinguishable)."""
         self.n_scans = n_scans
         self.laps = laps
+        self.center_m = center_m
         self.points_per_scan = points_per_scan
         self.trajectory = trajectory
         self.radius_m = radius_m
@@ -101,8 +107,9 @@ class SyntheticStream:
             ang = 2 * np.pi * i * self.laps / self.n_scans
             yaw = ang + np.pi / 2
             q = np.array([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)], np.float32)
-            t = np.array([self.radius_m * np.cos(ang),
-                          self.radius_m * np.sin(ang), 1.5], np.float32)
+            t = np.array([self.center_m[0] + self.radius_m * np.cos(ang),
+                          self.center_m[1] + self.radius_m * np.sin(ang),
+                          1.5], np.float32)
         elif self.trajectory == 'line':
             q = np.array([1, 0, 0, 0], np.float32)
             t = np.array([self.step_m * i, 0.0, 1.5], np.float32)

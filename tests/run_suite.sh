@@ -23,7 +23,7 @@ CHUNKS=(
   "tests/test_solver_fast.py tests/test_velodyne_sim.py tests/test_evaluation.py"
   "tests/test_worker.py tests/test_checkpoint.py tests/test_pipeline_tools.py"
   "tests/test_online.py"
-  "tests/test_fleet.py tests/test_rosbag.py"
+  "tests/test_fleet.py tests/test_rosbag.py tests/test_place_recognition.py"
   "tests/test_parity.py tests/test_kitti.py tests/test_native_io.py"
 )
 fail=0

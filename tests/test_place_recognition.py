@@ -108,6 +108,56 @@ def test_detector_capacity_growth():
     assert int(np.asarray(det.db_keys[4])) == 4
 
 
+def test_cross_track_detection_links_robots(rng):
+    """Two robots share one descriptor database: when robot 1 drives
+    through robot 0's territory, the detector fires a CROSS-TRACK
+    detection, which runs the linking-closure path (absorbed prior
+    removed, groups merged, frames aligned) — the reference needs the
+    external segmatch node for this rendezvous case."""
+    base_cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            force_priors=True,
+            use_icp_factors=False,
+            odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+            input_filters=InputFilterConfig(scan_capacity=2048),
+            icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                          reading_sampling_ratio=1.0)),
+        solver=SolverConfig(gn_iterations=2, pcg_iterations=30))
+    pr_cfg = PlaceRecognitionConfig(detect_every=1, exclude_recent_keys=6,
+                                    min_keys_between_detections=4,
+                                    distance_threshold=0.1, db_capacity=64)
+    runner = online.OnlineRunner(base_cfg, pose_capacity=64,
+                                 factor_capacity=256, n_tracks=2,
+                                 archive_points=512,
+                                 place_recognition=pr_cfg)
+    # Same world, same route (robot 1 re-drives robot 0's line later).
+    n = 8
+    route = list(replay.SyntheticStream(
+        n_scans=n, points_per_scan=2048, trajectory='line', step_m=1.0,
+        noise_m=0.005, odom_noise=0.005, seed=47))
+    for f in route:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7, track_id=0)
+    assert not runner.detections     # nothing to revisit yet
+    for f in route:
+        runner.process_scan(f.time_ns + 1, f.points, f.odom_pose7,
+                            track_id=1)
+
+    cross = [(a, b) for a, b, _, _ in runner.detections
+             if runner.key_info[a][0] != runner.key_info[b][0]]
+    assert cross, (runner.detections, runner.rejected_detections)
+    for a, b in cross:
+        # Robot 1's key b = n + i revisits robot 0's key i.
+        assert abs((b - a) - n) <= 1, cross
+    # The linking machinery ran: single group, absorbed prior removed.
+    assert len(runner._linked_groups) == 1
+    assert runner._prior_slot_of_track == {}
+    # And the matched poses actually coincide in the shared frame.
+    poses = online.extract_trajectory(runner.state)
+    a, b = cross[0]
+    assert np.linalg.norm(poses[a][4:] - poses[b][4:]) < 1.0
+
+
 def test_detector_checkpoint_roundtrip(tmp_path):
     """The scan-context database rides the online checkpoint; resuming
     without its config fails loudly instead of silently going blind."""

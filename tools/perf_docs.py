@@ -89,6 +89,10 @@ def render_readme(m):
     if g('tpu_fleet256_map_queries_per_sec'):
         row('Fleet mode: 256-lane local-map NN queries (16k-pt maps)',
             f"{fmt(g('tpu_fleet256_map_queries_per_sec') / 1e6, 1)} M queries/s")
+    if g('tpu_scan_context_queries_per_sec'):
+        row('Place recognition: scan-context query vs 4096-scan database',
+            f"{fmt(g('tpu_scan_context_queries_per_sec'), 0)} queries/s"
+            ' (descriptor build + all entries x all rotations)')
 
     lines = [
         f"Measured on `{g('device', 'TPU v5e')}` (driver-captured run; regenerate with",
@@ -153,6 +157,9 @@ def render_claude(m):
         mq = (f"; map queries {fmt(g('tpu_fleet256_map_queries_per_sec') / 1e6, 1)}M/s"
               if g('tpu_fleet256_map_queries_per_sec') else '')
         lines.append(f"- Fleet-256 vmap: {fmt(g('tpu_fleet256_pairs_per_sec'), 0)} pairs/s{mq}.")
+    if g('tpu_scan_context_queries_per_sec'):
+        lines.append(f"- Scan-context PR query: {fmt(g('tpu_scan_context_queries_per_sec'), 0)}/s"
+                     ' vs 4096-scan db.')
     lines.append('- Capacity growth recompiles online_step (~10 s over the tunnel):'
                  ' pre-size capacities for the run length; growth is the safety'
                  ' net.  B=64 batched ICP hits an XLA scheduling pathology'

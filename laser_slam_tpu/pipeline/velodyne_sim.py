@@ -205,12 +205,14 @@ class BeamStream:
                  range_noise_m: float = 0.02, odom_noise: float = 0.0,
                  seed: int = 0, period_ns: int = int(1e8),
                  step_m: float = 1.0, laps: int = 1,
-                 sensor_height_m: float = 1.5):
+                 sensor_height_m: float = 1.5,
+                 center_m: tuple = (0.0, 0.0)):
         self.n_scans = n_scans
         self.trajectory = trajectory
         self.radius_m = radius_m
         self.step_m = step_m
         self.laps = laps
+        self.center_m = center_m
         self.period_ns = period_ns
         self.odom_noise = odom_noise
         self.range_noise_m = range_noise_m
@@ -232,8 +234,8 @@ class BeamStream:
             yaw = ang + np.pi / 2
             q = np.array([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)],
                          np.float32)
-            t = np.array([self.radius_m * np.cos(ang),
-                          self.radius_m * np.sin(ang),
+            t = np.array([self.center_m[0] + self.radius_m * np.cos(ang),
+                          self.center_m[1] + self.radius_m * np.sin(ang),
                           self.sensor_height_m], np.float32)
         elif self.trajectory == 'line':
             q = np.array([1, 0, 0, 0], np.float32)

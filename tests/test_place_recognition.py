@@ -108,6 +108,43 @@ def test_detector_capacity_growth():
     assert int(np.asarray(det.db_keys[4])) == 4
 
 
+def test_detection_on_beam_structured_scans(rng):
+    """The detector must work on the ring-discretized, occlusion-correct
+    scans real sensors produce (not just uniform synthetic sampling):
+    revisits on a 16-beam ray-cast loop are recognized with the right
+    pairing and near-zero yaw."""
+    from laser_slam_tpu.pipeline import velodyne_sim as vs
+    est_cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+            icp_noise_model=(0.01,) * 6,
+            input_filters=InputFilterConfig(scan_capacity=4096),
+            icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                          reading_sampling_ratio=1.0)),
+        solver=SolverConfig(gn_iterations=2, pcg_iterations=30))
+    pr_cfg = PlaceRecognitionConfig(detect_every=1, exclude_recent_keys=8,
+                                    distance_threshold=0.25,
+                                    db_capacity=64)
+    runner = online.OnlineRunner(est_cfg, pose_capacity=64,
+                                 factor_capacity=256, archive_points=512,
+                                 place_recognition=pr_cfg)
+    n, laps = 24, 2
+    frames = list(vs.BeamStream(
+        n_scans=n, n_beams=16, n_azimuth=256, trajectory='circle',
+        radius_m=10.0, center_m=(8.0, 5.0), laps=laps,
+        range_noise_m=0.01, odom_noise=0.01, seed=13))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    assert runner.detections, (runner.detections,
+                               runner.rejected_detections)
+    lap = n // laps
+    for key_a, key_b, dist, yaw in runner.detections:
+        assert abs((key_b - key_a) - lap) <= 2, (runner.detections,
+                                                 runner.rejected_detections)
+        assert abs(yaw) < 0.5, runner.detections
+
+
 def test_cross_track_detection_links_robots(rng):
     """Two robots share one descriptor database: when robot 1 drives
     through robot 0's territory, the detector fires a CROSS-TRACK

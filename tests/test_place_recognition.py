@@ -195,6 +195,68 @@ def test_cross_track_detection_links_robots(rng):
     assert np.linalg.norm(poses[a][4:] - poses[b][4:]) < 1.0
 
 
+def test_host_path_recipe_with_standalone_detector(rng):
+    """The detector is usable with the host (reference-shaped) API too:
+    feed the worker's scans to a standalone ScanContextDetector and
+    route hits through IncrementalEstimator.process_loop_closure — the
+    exact seam where the reference plugs segmatch in
+    (incremental_estimator.cpp:63)."""
+    from laser_slam_tpu.core.estimator import IncrementalEstimator
+    from laser_slam_tpu.core.types import RelativePose
+    from laser_slam_tpu.config import WorkerConfig
+    from laser_slam_tpu.ops import se3
+    from laser_slam_tpu.pipeline.worker import LaserSlamWorker
+    import jax.numpy as jnp
+
+    est_cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+            icp_noise_model=(0.01,) * 6,
+            input_filters=InputFilterConfig(scan_capacity=2048),
+            icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                          reading_sampling_ratio=1.0)),
+        loop_closure_noise_model=(0.01,) * 6,
+        solver=SolverConfig(gn_iterations=2, pcg_iterations=30))
+    estimator = IncrementalEstimator(est_cfg, 1)
+    worker = LaserSlamWorker(WorkerConfig(minimum_distance_to_add_pose=0.0),
+                             estimator, 0)
+    det = ScanContextDetector(PlaceRecognitionConfig(
+        exclude_recent_keys=8, distance_threshold=0.1, db_capacity=64))
+
+    n, laps = 24, 2
+    frames = list(replay.SyntheticStream(
+        n_scans=n, points_per_scan=2048, trajectory='circle',
+        radius_m=10.0, center_m=(8.0, 5.0), laps=laps, noise_m=0.005,
+        odom_noise=0.01, seed=53))
+    hits = []
+    times = []
+    for i, f in enumerate(frames):
+        worker.process_scan(f.time_ns, f.points, f.odom_pose7)
+        times.append(f.time_ns)
+        mask = np.ones((len(f.points),), bool)
+        hit = det.query(f.points, mask, key=i, add=True)
+        if hit is not None and not hits:        # close the first revisit
+            T_w_a = jnp.asarray(worker.laser_track.evaluate(times[hit.key]))
+            T_w_b = jnp.asarray(worker.laser_track.evaluate(f.time_ns))
+            half = 0.5 * hit.yaw_rad
+            rz = jnp.asarray(np.array(
+                [np.cos(half), 0, 0, np.sin(half), 0, 0, 0], np.float32))
+            w_T_a_b = se3.compose(T_w_a, se3.compose(
+                rz, se3.inverse(T_w_b)))
+            estimator.process_loop_closure(RelativePose(
+                T_a_b=np.asarray(w_T_a_b), time_a_ns=times[hit.key],
+                time_b_ns=f.time_ns, track_id_a=0, track_id_b=0))
+            hits.append((hit.key, i))
+    assert hits, 'no revisit detected on the host path'
+    key_a, key_b = hits[0]
+    assert abs((key_b - key_a) - n // laps) <= 2, hits
+    traj = worker.get_trajectory()
+    errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
+            for f in frames if f.time_ns in traj]
+    assert max(errs) < 0.5, max(errs)
+
+
 def test_detector_checkpoint_roundtrip(tmp_path):
     """The scan-context database rides the online checkpoint; resuming
     without its config fails loudly instead of silently going blind."""

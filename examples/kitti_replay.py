@@ -29,6 +29,15 @@ def main():
     p.add_argument('--min-distance', type=float, default=2.5)
     p.add_argument('--cpu', action='store_true',
                    help='force the CPU backend (tests/small fixtures)')
+    p.add_argument('--place-recognition', action='store_true',
+                   help='detect + inject loop closures in-tree '
+                        '(scan-context, ICP-verified)')
+    p.add_argument('--pr-threshold', type=float, default=0.2,
+                   help='scan-context acceptance distance')
+    p.add_argument('--pr-every', type=int, default=4,
+                   help='query cadence in scans (D2H fetch per query)')
+    p.add_argument('--pr-exclude', type=int, default=50,
+                   help='temporal exclusion window in keys')
     p.add_argument('--map-out', default=None,
                    help='occupancy map output (.ply/.pcd/.xyz/.npz)')
     p.add_argument('--traj-out', default=None, help='trajectory CSV out')
@@ -64,9 +73,18 @@ def main():
 
     stream = replay.KittiStream(args.root, args.sequence,
                                 max_scans=args.max_scans)
+    pr_cfg = None
+    if args.place_recognition:
+        from laser_slam_tpu.config import PlaceRecognitionConfig
+        pr_cfg = PlaceRecognitionConfig(
+            detect_every=args.pr_every,
+            distance_threshold=args.pr_threshold,
+            exclude_recent_keys=args.pr_exclude, max_radius_m=80.0)
     runner = online.OnlineRunner(
         cfg, pose_capacity=1 << 13, factor_capacity=1 << 15,
-        minimum_distance_to_add_pose=1.0)
+        minimum_distance_to_add_pose=1.0,
+        archive_points=1024 if pr_cfg else 0,
+        place_recognition=pr_cfg)
     bench.enable()
 
     print(f'device: {jax.devices()[0]}, scans: {len(stream)}')
@@ -84,6 +102,12 @@ def main():
     dt = time.time() - t0
     print(f'integrated {n} scans in {dt:.1f}s ({n / dt:.1f} scans/s '
           f'incl. compile)')
+    if args.place_recognition:
+        print(f'loop closures: {len(runner.detections)} accepted, '
+              f'{len(runner.rejected_detections)} rejected by ICP gate')
+        for key_a, key_b, dist, yaw in runner.detections:
+            print(f'  key {key_b} -> key {key_a} (sc-dist {dist:.3f}, '
+                  f'yaw {np.degrees(yaw):.1f} deg)')
 
     traj = runner.trajectory()
     if gts:

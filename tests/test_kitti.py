@@ -30,12 +30,14 @@ TR = np.array([
 ])
 
 
-def make_kitti_fixture(root, n_scans=N_SCANS, seq='00'):
+def make_kitti_fixture(root, n_scans=N_SCANS, seq='00', trajectory='line',
+                       laps=1, center_m=(0.0, 0.0), radius_m=10.0):
     """Write a KITTI-format sequence; returns the ground-truth velodyne
     poses (in the Tr-conjugated frame KittiStream reports)."""
     stream = replay.SyntheticStream(
-        n_scans=n_scans, points_per_scan=N_POINTS, trajectory='line',
-        step_m=1.2, noise_m=0.01, seed=17)
+        n_scans=n_scans, points_per_scan=N_POINTS, trajectory=trajectory,
+        step_m=1.2, noise_m=0.01, seed=17, laps=laps, center_m=center_m,
+        radius_m=radius_m)
     frames = list(stream)
 
     seq_dir = os.path.join(root, 'sequences', seq)
@@ -122,6 +124,32 @@ def test_native_prefetch_loader_on_fixture(tmp_path):
 
 
 @pytest.mark.slow
+def test_kitti_replay_example_with_place_recognition(tmp_path):
+    """--place-recognition on a loop-closing KITTI-format fixture: the
+    example detects + injects the revisit closures itself (no external
+    segmatch, no ground-truth alignment)."""
+    make_kitti_fixture(str(tmp_path), n_scans=24, trajectory='circle',
+                       laps=2, center_m=(8.0, 5.0))
+    env = dict(os.environ,
+               PYTHONPATH='/root/repo:' + os.environ.get('PYTHONPATH', ''),
+               JAX_PLATFORMS='cpu')
+    res = subprocess.run(
+        [sys.executable, '/root/repo/examples/kitti_replay.py',
+         '--root', str(tmp_path), '--sequence', '00',
+         '--matcher', 'brute', '--window', '0', '--cpu',
+         '--scan-capacity', '4096', '--reading-capacity', '2048',
+         '--min-distance', '0.5', '--place-recognition',
+         '--pr-every', '1', '--pr-exclude', '8'],
+        capture_output=True, text=True, env=env, timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert 'loop closures:' in res.stdout, res.stdout
+    n_acc = int(res.stdout.split('loop closures: ')[1].split(' accepted')[0])
+    assert n_acc >= 1, res.stdout
+    mean_ate = float(res.stdout.split('ATE vs KITTI poses: mean ')[1]
+                     .split(' m')[0])
+    assert mean_ate < 0.3, res.stdout
+
+
 def test_kitti_replay_example_end_to_end(tmp_path):
     """examples/kitti_replay.py runs the production pipeline over the
     fixture: trajectory export + occupancy map export + sane ATE."""

@@ -195,6 +195,35 @@ def test_cross_track_detection_links_robots(rng):
     assert np.linalg.norm(poses[a][4:] - poses[b][4:]) < 1.0
 
 
+def test_runner_detector_grows_mid_run(rng):
+    """The descriptor database doubles mid-run without disturbing
+    detection (same bucketing policy as the state tables)."""
+    est_cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            input_filters=InputFilterConfig(scan_capacity=1024),
+            icp=IcpConfig(matcher='brute', reading_capacity=512,
+                          reading_sampling_ratio=1.0)),
+        solver=SolverConfig(gn_iterations=1, pcg_iterations=10))
+    pr_cfg = PlaceRecognitionConfig(detect_every=1, db_capacity=4,
+                                    exclude_recent_keys=4,
+                                    distance_threshold=0.1)
+    runner = online.OnlineRunner(est_cfg, pose_capacity=32,
+                                 factor_capacity=128,
+                                 place_recognition=pr_cfg)
+    frames = list(replay.SyntheticStream(
+        n_scans=10, points_per_scan=1024, trajectory='line', step_m=2.0,
+        noise_m=0.005, odom_noise=0.005, seed=61))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    assert runner.detector.n == 10
+    assert runner.detector.db.shape[0] >= 10
+    keys = np.asarray(runner.detector.db_keys[:10])
+    np.testing.assert_array_equal(keys, np.arange(10))
+    # Line trajectory, 2 m steps: distant viewpoints must not match.
+    assert not runner.detections, runner.detections
+
+
 def test_host_path_recipe_with_standalone_detector(rng):
     """The detector is usable with the host (reference-shaped) API too:
     feed the worker's scans to a standalone ScanContextDetector and

@@ -342,10 +342,16 @@ class PlaceRecognitionConfig:
     # Database entries within this many global keys of the query are
     # excluded (temporal neighbors always match).
     exclude_recent_keys: int = 30
-    # Query cadence: every Nth added scan.  Each query ends with a small
-    # device->host fetch that BLOCKS on the dispatched stream — on a
-    # high-latency link (CLAUDE.md: ~30 ms D2H) raise this to amortize.
+    # Query cadence: every Nth added scan.  Each query's verdict must
+    # reach the host eventually — a device->host fetch that costs full
+    # link latency (~30 ms D2H on this deployment's tunnel).
     detect_every: int = 2
+    # Fetch batching: accumulate this many query results on device and
+    # read them back in ONE transfer (latency amortizes K-fold; detection
+    # lags up to detect_every*fetch_every scans, which loop closures
+    # tolerate — the alignment is built from the poses current at fetch
+    # time).  1 = fetch immediately.
+    fetch_every: int = 1
     # Cooldown after an accepted detection: while revisiting a stretch of
     # old trajectory EVERY scan matches the previous lap, and one closure
     # per ~cooldown keys constrains the graph as well as one per scan

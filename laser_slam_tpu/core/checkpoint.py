@@ -98,6 +98,9 @@ def save_online_checkpoint(path: str, runner) -> None:
                 for name, leaf in m._asdict().items():
                     data[pre + name] = np.asarray(leaf)
     if getattr(runner, 'detector', None) is not None:
+        # Pending (unfetched) detection queries must land before the
+        # snapshot, or their closures would be lost on resume.
+        runner.flush_detections()
         data['pr_db'] = np.asarray(runner.detector.db)
         data['pr_keys'] = np.asarray(runner.detector.db_keys)
         data['pr_n'] = np.int64(runner.detector.n)
@@ -187,6 +190,7 @@ def load_online_checkpoint(path: str, config, map_config=None,
                           for r in z['detections']]
                          if 'detections' in z else [])
     runner.rejected_detections = []
+    runner._pr_pending = []
     if 'pr_db' in z and place_recognition is None:
         raise ValueError(
             'checkpoint contains a place-recognition database but '

@@ -841,6 +841,7 @@ class OnlineRunner:
         # Candidates that failed ICP verification:
         # (key_a, key_b, distance, inlier_fraction, mean_residual_m).
         self.rejected_detections: list = []
+        self._pr_pending: list = []      # unfetched (key, device [3]) rows
         if place_recognition is not None:
             from laser_slam_tpu.pipeline.place_recognition import (
                 ScanContextDetector)
@@ -1176,9 +1177,10 @@ class OnlineRunner:
 
     def _pr_scan(self, track_id: int, key: int) -> None:
         """Feed the newest filtered scan (sensor frame, already on device
-        in the submap ring) to the scan-context detector; on a match,
-        inject the loop closure through the standard path (yaw guess ->
-        optional submap-ICP refinement -> factor + solve)."""
+        in the submap ring) to the scan-context detector; query results
+        accumulate ON DEVICE and are fetched ``fetch_every`` at a time in
+        one transfer (the host boundary costs ~full link latency per
+        fetch — docs/design.md §4)."""
         pts = self.state.ring_points[track_id, -1]
         msk = self.state.ring_mask[track_id, -1]
         pr_cfg = self.detector.config
@@ -1190,9 +1192,36 @@ class OnlineRunner:
         if not do_query:
             self.detector.add(pts, msk, key)
             return
-        det = self.detector.query(pts, msk, key, add=True)
-        if det is None:
+        res = self.detector.query_async(pts, msk, key, add=True)
+        if res is not None:
+            self._pr_pending.append((key, res))
+        if len(self._pr_pending) >= max(pr_cfg.fetch_every, 1):
+            self.flush_detections()
+
+    def flush_detections(self) -> None:
+        """Fetch all pending place-recognition query results in ONE
+        device->host transfer and inject the closures that pass the
+        threshold + cooldown + ICP-verification gates.  Called
+        automatically every ``fetch_every`` queries; call manually to
+        drain before reading final results."""
+        if not self._pr_pending:
             return
+        pending, self._pr_pending = self._pr_pending, []
+        rows = np.asarray(jnp.stack([r for _, r in pending]))
+        for (key, _), row in zip(pending, rows):
+            det = self.detector.to_detection(row)
+            if det is None:
+                continue
+            pr_cfg = self.detector.config
+            if (self.detections and
+                    key - self.detections[-1][1]
+                    < pr_cfg.min_keys_between_detections):
+                continue
+            self._inject_detection(det, key)
+
+    def _inject_detection(self, det, key: int) -> None:
+        """Verify one detection and add it as a loop closure."""
+        pr_cfg = self.detector.config
         # w_T_a_b from the current estimates and the matched yaw:
         # a_T_a_b ~= Rz(yaw) (same place, heading differs), and the
         # estimator converts back via T_w_a^-1 . w_T_a_b . T_w_b
@@ -1290,6 +1319,8 @@ class OnlineRunner:
 
     def trajectory(self, track_id: Optional[int] = None) -> dict:
         """{time_ns: pose7}; pass track_id to select one robot's track."""
+        if self.detector is not None:
+            self.flush_detections()      # apply any pending closures first
         poses = extract_trajectory(self.state)
         return {t: poses[i] for i, (tid, t) in enumerate(self.key_info)
                 if track_id is None or tid == track_id}

@@ -94,6 +94,35 @@ class ScanContextDetector:
         global pose key.  No host transfer."""
         self._store(self._descriptor(points, mask), key)
 
+    def query_async(self, points, mask, key: int,
+                    add: bool = False) -> Optional[jax.Array]:
+        """Dispatch a query; return its [3] f32 (matched key, distance,
+        yaw) result WITHOUT fetching it to the host.  The caller decides
+        when to pay the D2H latency — stack several results and read
+        them in one transfer (PlaceRecognitionConfig.fetch_every), or
+        wrap in :meth:`to_detection` immediately.  None if the database
+        is empty (nothing to match)."""
+        c = self.config
+        desc, dist, shift = sc.descriptor_and_query(
+            self.db, self.db_keys, jnp.asarray(points), jnp.asarray(mask),
+            jnp.int32(key - c.exclude_recent_keys),
+            n_rings=c.n_rings, n_sectors=c.n_sectors,
+            max_radius_m=c.max_radius_m, z_offset_m=c.z_offset_m)
+        out = None
+        if self.n > 0:
+            out = _best(dist, shift, self.db_keys, c.n_sectors)
+        if add:
+            self._store(desc, key)
+        return out
+
+    def to_detection(self, row) -> Optional[Detection]:
+        """Interpret one fetched (host) [3] result row against the
+        acceptance threshold."""
+        k, d, yaw = float(row[0]), float(row[1]), float(row[2])
+        if d <= self.config.distance_threshold and k >= 0:
+            return Detection(key=int(k), distance=d, yaw_rad=yaw)
+        return None
+
     def query(self, points, mask, key: int,
               add: bool = False) -> Optional[Detection]:
         """Match a scan against every stored entry older than
@@ -103,21 +132,10 @@ class ScanContextDetector:
 
         The return value requires a small device->host fetch that blocks
         on the dispatched stream — see
-        PlaceRecognitionConfig.detect_every for cadence guidance."""
-        c = self.config
-        desc, dist, shift = sc.descriptor_and_query(
-            self.db, self.db_keys, jnp.asarray(points), jnp.asarray(mask),
-            jnp.int32(key - c.exclude_recent_keys),
-            n_rings=c.n_rings, n_sectors=c.n_sectors,
-            max_radius_m=c.max_radius_m, z_offset_m=c.z_offset_m)
-        out = None
-        if self.n > 0:
-            import numpy as np
-            k, d, yaw = np.asarray(_best(dist, shift, self.db_keys,
-                                         c.n_sectors))
-            if d <= c.distance_threshold and k >= 0:
-                out = Detection(key=int(k), distance=float(d),
-                                yaw_rad=float(yaw))
-        if add:
-            self._store(desc, key)
-        return out
+        PlaceRecognitionConfig.detect_every / fetch_every for cadence
+        guidance (query_async defers the fetch)."""
+        import numpy as np
+        res = self.query_async(points, mask, key, add=add)
+        if res is None:
+            return None
+        return self.to_detection(np.asarray(res))

@@ -195,6 +195,46 @@ def test_cross_track_detection_links_robots(rng):
     assert np.linalg.norm(poses[a][4:] - poses[b][4:]) < 1.0
 
 
+def test_batched_fetch_mode_still_detects(rng):
+    """fetch_every > 1 amortizes the per-query D2H fetch by stacking
+    results device-side; detections arrive a few scans late but pair the
+    same revisits and the trajectory still converges."""
+    est_cfg = EstimatorConfig(
+        laser_track=LaserTrackConfig(
+            nscan_in_sub_map=3,
+            odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+            icp_noise_model=(0.01,) * 6,
+            input_filters=InputFilterConfig(scan_capacity=2048),
+            icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                          reading_sampling_ratio=1.0)),
+        solver=SolverConfig(gn_iterations=2, pcg_iterations=30))
+    pr_cfg = PlaceRecognitionConfig(detect_every=1, fetch_every=4,
+                                    exclude_recent_keys=8,
+                                    distance_threshold=0.25,
+                                    db_capacity=64)
+    runner = online.OnlineRunner(est_cfg, pose_capacity=64,
+                                 factor_capacity=256, archive_points=512,
+                                 place_recognition=pr_cfg)
+    n, laps = 32, 2
+    frames = list(replay.SyntheticStream(
+        n_scans=n, points_per_scan=2048, trajectory='circle',
+        radius_m=10.0, center_m=(8.0, 5.0), laps=laps, noise_m=0.005,
+        odom_noise=0.01, seed=31))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    runner.flush_detections()
+    assert runner.detections, (runner.detections,
+                               runner.rejected_detections)
+    lap = n // laps
+    for key_a, key_b, dist, yaw in runner.detections:
+        assert abs((key_b - key_a) - lap) <= 2, (runner.detections,
+                                                 runner.rejected_detections)
+    traj = runner.trajectory()
+    errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
+            for f in frames if f.time_ns in traj]
+    assert max(errs) < 0.5, max(errs)
+
+
 def test_runner_detector_grows_mid_run(rng):
     """The descriptor database doubles mid-run without disturbing
     detection (same bucketing policy as the state tables)."""

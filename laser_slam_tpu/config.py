@@ -340,7 +340,10 @@ class PlaceRecognitionConfig:
     # this to ~0.05 there.
     distance_threshold: float = 0.20
     # Database entries within this many global keys of the query are
-    # excluded (temporal neighbors always match).
+    # excluded (temporal neighbors always match).  Keys are GLOBAL: with
+    # N interleaved robots this window covers ~1/N as many scans per
+    # track — scale it up accordingly (cross-track rendezvous detection
+    # is unaffected; other robots' old scans stay eligible).
     exclude_recent_keys: int = 30
     # Query cadence: every Nth added scan.  Each query's verdict must
     # reach the host eventually — a device->host fetch that costs full

@@ -21,6 +21,12 @@ import time
 
 import numpy as np
 
+# LASER_SLAM_BENCH_SMOKE=1 shrinks every workload so the FULL bench code
+# path (every section, same call graph) executes in ~a minute on the CPU
+# backend — a pre-flight check that the driver's one-shot TPU run cannot
+# fail on glue.  Numbers produced under smoke are meaningless.
+SMOKE = os.environ.get('LASER_SLAM_BENCH_SMOKE') == '1'
+
 # Persistent XLA compilation cache: first-compile over the remote tunnel is
 # minutes per shape.  The axon sitecustomize imports jax at interpreter
 # startup, so env vars are too late — configure via the config API below.
@@ -131,6 +137,8 @@ def bench_cpu(rng, world, ref_np, normals_np, readings, n_runs=5):
 
 
 def cpu_sparse_solver_proxy(n_poses=10_000, lc_every=500, reps=3):
+    if SMOKE:
+        n_poses, lc_every, reps = 512, 128, 1
     """Sparse factorization/backsolve times for the 10k-pose graph on CPU.
 
     Builds the Gauss-Newton normal equations with the exact block-sparsity
@@ -221,12 +229,14 @@ def make_beam_frames():
     KITTI-class (64x2048 rays ~ 131k).  Pure numpy — safe to run before
     the jax backend initializes."""
     from laser_slam_tpu.pipeline import velodyne_sim as vs
-    s16 = vs.BeamStream(n_scans=128, n_beams=64, n_azimuth=256,
+    s16 = vs.BeamStream(n_scans=32 if SMOKE else 128, n_beams=64,
+                        n_azimuth=64 if SMOKE else 256,
                         trajectory='circle', radius_m=20.0,
                         world_size_m=80.0, range_noise_m=0.01,
                         odom_noise=0.005, seed=11)
     frames_16k = list(s16)
-    sk = vs.BeamStream(n_scans=116, n_beams=64, n_azimuth=2048,
+    sk = vs.BeamStream(n_scans=26 if SMOKE else 116, n_beams=64,
+                       n_azimuth=128 if SMOKE else 2048,
                        trajectory='circle', radius_m=20.0,
                        world_size_m=80.0, range_noise_m=0.01,
                        odom_noise=0.005, seed=12)
@@ -252,9 +262,9 @@ def cpu_normals(ref_np, knn=10):
 
 def main():
     rng = np.random.default_rng(0)
-    REF_N = 65536
-    READ_N = 8192
-    N_SOLVES = 16
+    REF_N = 2048 if SMOKE else 65536
+    READ_N = 1024 if SMOKE else 8192
+    N_SOLVES = 4 if SMOKE else 16
 
     world = make_scene(rng)
     pose0 = np.array([0.0, 0.0, 1.8])
@@ -271,7 +281,7 @@ def main():
     # once jax runtime threads exist).
     normals_cpu = cpu_normals(ref_np)
     cpu_mean_s, cpu_iters = bench_cpu(rng, world, ref_np, normals_cpu,
-                                      readings_np, n_runs=5)
+                                      readings_np, n_runs=2 if SMOKE else 5)
     cpu_rate = 1.0 / cpu_mean_s
     extras['cpu_kdtree_pairs_per_sec'] = round(cpu_rate, 3)
     extras['cpu_mean_iters'] = round(cpu_iters, 1)
@@ -291,9 +301,11 @@ def main():
     # device work).  16k-class: 20 timed scans; KITTI-class: 5 (the CPU
     # pipeline runs ~10 s/scan there — enough to pin the rate).
     frames_16k, frames_kitti, hit16, hitk = make_beam_frames()
-    cpu_e2e_16k = cpu_e2e_scans_per_sec(frames_16k, n_warm=2, n_timed=20)
+    cpu_e2e_16k = cpu_e2e_scans_per_sec(frames_16k, n_warm=2,
+                                        n_timed=6 if SMOKE else 20)
     extras['cpu_e2e_scans_per_sec'] = round(cpu_e2e_16k, 3)
-    cpu_e2e_kitti = cpu_e2e_scans_per_sec(frames_kitti, n_warm=1, n_timed=5)
+    cpu_e2e_kitti = cpu_e2e_scans_per_sec(frames_kitti, n_warm=1,
+                                          n_timed=2 if SMOKE else 5)
     extras['cpu_e2e_kitti_density_scans_per_sec'] = round(cpu_e2e_kitti, 3)
     extras['beam_hit_rate_16k'] = round(hit16, 3)
     extras['beam_hit_rate_kitti'] = round(hitk, 3)
@@ -344,14 +356,14 @@ def main():
     # this chip) and both knobs cut gather rows ~4x at equal registration
     # accuracy (validated against the exact-NN matcher: 3.8 mm mean
     # solution difference for both this config and the S=1 default).
-    B = 32
+    B = 4 if SMOKE else 32
     cfg_b = IcpConfig(matcher='projective', reading_capacity=READ_N,
                       reading_sampling_ratio=1.0,
                       range_image_window='cross',
                       coarse_capacity=512, gn_steps_per_match=4)
     vsolve = jax.jit(jax.vmap(lambda p, m: icp_mod.icp_point_to_plane(
         pc.Cloud(p, m), ref, normals, se3.identity(), cfg_b)))
-    reps = 4
+    reps = 2 if SMOKE else 4
     batches = []
     for rep in range(reps):
         sel = [readings[(i + rep * 3) % N_SOLVES] for i in range(B)]
@@ -375,9 +387,10 @@ def main():
     # smallest power of two that fits (the framework's own bucketing
     # policy) — r2 used a 32k factor buffer for 10k factors and paid ~2x
     # in linearize + matvec HBM traffic for the padding.
-    NP_ = 10_000
-    g = fg.HostGraph(rel_capacity=1 << 14, prior_capacity=16)
-    poses = np.zeros((1 << 14, 7), np.float32)
+    NP_ = 512 if SMOKE else 10_000
+    GCAP = 1 << (10 if SMOKE else 14)
+    g = fg.HostGraph(rel_capacity=GCAP, prior_capacity=16)
+    poses = np.zeros((GCAP, 7), np.float32)
     poses[:, 0] = 1.0
     xs = np.cumsum(rng.normal(size=NP_).astype(np.float32) * 0 + 1.0)
     poses[:NP_, 4] = xs - 1.0
@@ -386,10 +399,10 @@ def main():
     step = np.array([1, 0, 0, 0, 1, 0, 0], np.float32)
     for i in range(NP_ - 1):
         g.add_relative(i, i + 1, step, sig)
-    for i in range(0, NP_ - 100, 500):  # periodic loop closures
+    for i in range(0, NP_ - 100, 128 if SMOKE else 500):  # periodic LCs
         lc = np.array([1, 0, 0, 0, 100, 0, 0], np.float32)
         g.add_relative(i, i + 100, lc, sig)
-    mask = np.zeros((1 << 14,), bool)
+    mask = np.zeros((GCAP,), bool)
     mask[:NP_] = True
     # Perturb the initialization so the solve does real work (an
     # at-optimum graph lets PCG exit immediately and flatters the number).
@@ -416,8 +429,9 @@ def main():
     # started from the previous optimum with one new loop-closure factor;
     # PCG exits on tolerance.
     warm_sets = [o.poses for o in outs]
-    g.add_relative(1234, 8765, np.asarray(
-        np.concatenate([[1, 0, 0, 0], [8765.0 - 1234.0, 0.05, 0]])
+    ia, ib = (123, 456) if SMOKE else (1234, 8765)
+    g.add_relative(ia, ib, np.asarray(
+        np.concatenate([[1, 0, 0, 0], [float(ib - ia), 0.05, 0]])
         .astype(np.float32)), sig)
     data2 = g.to_device()
     # gn_tolerance: near the warm start the first GN step already lands
@@ -441,20 +455,23 @@ def main():
     from laser_slam_tpu.config import (EstimatorConfig, InputFilterConfig,
                                        LaserTrackConfig)
     from laser_slam_tpu.pipeline import online, replay
+    SCAN_CAP = 4096 if SMOKE else 16384
+    RD_CAP = 2048 if SMOKE else 8192
     e2e_cfg = EstimatorConfig(
         laser_track=LaserTrackConfig(
             nscan_in_sub_map=5,
             odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
             icp_noise_model=(0.005,) * 6,
-            input_filters=InputFilterConfig(scan_capacity=16384),
-            icp=IcpConfig(matcher='projective', reading_capacity=8192,
+            input_filters=InputFilterConfig(scan_capacity=SCAN_CAP),
+            icp=IcpConfig(matcher='projective', reading_capacity=RD_CAP,
                           reading_sampling_ratio=0.5)),
         solver=SolverConfig(gn_iterations=3, gn_tolerance=1e-4,
                             pcg_iterations=32, window=64))
     runner = online.OnlineRunner(e2e_cfg, pose_capacity=2048,
                                  factor_capacity=8192)
     frames = list(replay.SyntheticStream(
-        n_scans=128, points_per_scan=16384, trajectory='circle',
+        n_scans=24 if SMOKE else 128, points_per_scan=SCAN_CAP,
+        trajectory='circle',
         radius_m=20.0, noise_m=0.01, odom_noise=0.005, seed=5))
     for f in frames[:8]:   # warm-up/compile
         runner.process_scan(f.time_ns, f.points, f.odom_pose7)
@@ -473,7 +490,7 @@ def main():
         **e2e_cfg.__dict__,
         'laser_track': lt_f.__class__(**{
             **lt_f.__dict__,
-            'icp': IcpConfig(matcher='projective', reading_capacity=8192,
+            'icp': IcpConfig(matcher='projective', reading_capacity=RD_CAP,
                              reading_sampling_ratio=0.5,
                              normal_method='image_pca',
                              normal_image_rows=32, normal_image_cols=512)})})
@@ -547,7 +564,7 @@ def main():
                 icp_noise_model=(0.005,) * 6,
                 input_filters=InputFilterConfig(scan_capacity=scan_cap,
                                                 store_capacity=store_cap),
-                icp=IcpConfig(matcher='projective', reading_capacity=8192,
+                icp=IcpConfig(matcher='projective', reading_capacity=RD_CAP,
                               reading_sampling_ratio=0.5,
                               normal_method='image_pca',
                               normal_image_rows=32, normal_image_cols=ni_cols,
@@ -597,8 +614,12 @@ def main():
         jax.block_until_ready(r.state.traj_poses)
         return len(timed) / (time.perf_counter() - t0)
 
-    cfg16 = beam_cfg(16384, 16384, 512, 256)
-    cfgk = beam_cfg(131072, 32768, 1024, 1024)
+    if SMOKE:
+        cfg16 = beam_cfg(4096, 4096, 128, 64)
+        cfgk = beam_cfg(8192, 8192, 256, 128)
+    else:
+        cfg16 = beam_cfg(16384, 16384, 512, 256)
+        cfgk = beam_cfg(131072, 32768, 1024, 1024)
     rate16, err16 = run_e2e(cfg16, frames_16k, n_warm=8)  # 120 timed scans
     extras['tpu_e2e_beam16k_scans_per_sec'] = round(rate16, 2)
     extras['tpu_e2e_beam16k_mean_err_m'] = round(err16, 3)
@@ -619,7 +640,7 @@ def main():
     # Fleet mode (BASELINE config 5): 256 parallel trajectories on one chip.
     from laser_slam_tpu.parallel import fleet as fleet_mod
     from laser_slam_tpu.ops import se3 as se3_mod
-    B_f, T_f, N_f = 256, 3, 4096
+    B_f, T_f, N_f = (8, 3, 512) if SMOKE else (256, 3, 4096)
     fl_pts = np.zeros((B_f, T_f, N_f, 3), np.float32)
     base_scan = sample_scan(rng, world, pose0, N_f)
     for b in range(B_f):
@@ -657,24 +678,26 @@ def main():
     # queries/s against a 4096-entry descriptor database — one einsum
     # scores every (entry, rotation) pair, so no candidate prefilter.
     from laser_slam_tpu.ops import scan_context as sc_mod
-    sc_db = jnp.asarray(rng.random((4096, 20, 60), np.float32))
-    sc_keys = jnp.arange(4096, dtype=jnp.int32)
+    SC_DB = 256 if SMOKE else 4096
+    SC_Q = 4 if SMOKE else 16
+    sc_db = jnp.asarray(rng.random((SC_DB, 20, 60), np.float32))
+    sc_keys = jnp.arange(SC_DB, dtype=jnp.int32)
     sc_scan = jnp.asarray(readings_np[0])
     sc_mask = jnp.ones((READ_N,), bool)
     jax.block_until_ready(sc_mod.descriptor_and_query(
-        sc_db, sc_keys, sc_scan, sc_mask, jnp.int32(4096))[1])
+        sc_db, sc_keys, sc_scan, sc_mask, jnp.int32(SC_DB))[1])
     t0 = time.perf_counter()
     outs_sc = [sc_mod.descriptor_and_query(
         sc_db, sc_keys, jnp.asarray(readings_np[i % N_SOLVES]), sc_mask,
-        jnp.int32(4096))[1] for i in range(16)]
+        jnp.int32(SC_DB))[1] for i in range(SC_Q)]
     jax.block_until_ready(outs_sc)
     extras['tpu_scan_context_queries_per_sec'] = round(
-        16 / (time.perf_counter() - t0), 1)
+        SC_Q / (time.perf_counter() - t0), 1)
 
     # Fleet local-map NN queries (the second half of BASELINE config 5):
     # 256 per-lane world-frame maps (16k points each), exact batched 1-NN
     # of 4096 queries per lane — one vmapped MXU distance-product program.
-    maps = fleet_mod.init_fleet_maps(B_f, 16384)
+    maps = fleet_mod.init_fleet_maps(B_f, 2048 if SMOKE else 16384)
     jp = jnp.asarray(init_pose)
     for t in range(T_f):
         maps = fleet_mod.fleet_accumulate(

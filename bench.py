@@ -410,7 +410,14 @@ def main():
     # NOTE: repeated executions with identical device inputs can be served
     # from an execution cache on this platform — every timed repetition
     # below uses distinct inputs.
-    scfg = SolverConfig(gn_iterations=3, pcg_iterations=32)
+    #
+    # Config: pareto point from experiments/precond_sweep.py (time at
+    # MATCHED error): the woodbury preconditioner (tridiagonal chain +
+    # exact low-rank closure correction) converges so much faster per
+    # iteration that gn=2/pcg<=16 reaches err 0.07 in ~89 ms where
+    # tridiagonal gn=3/pcg<=32 needs ~93 ms to reach only err 0.77.
+    scfg = SolverConfig(gn_iterations=2, pcg_iterations=16,
+                        pcg_tolerance=1e-4, preconditioner='woodbury')
     data = g.to_device()
     jmask = jnp.asarray(mask)
     inits = []
@@ -437,8 +444,11 @@ def main():
     # gn_tolerance: near the warm start the first GN step already lands
     # within tolerance and the remaining iterations are skipped on device
     # (lax.cond) — the honest analogue of iSAM2 touching only what moved.
-    scfg_inc = SolverConfig(gn_iterations=3, gn_tolerance=1e-4,
-                            pcg_iterations=32, pcg_tolerance=1e-4)
+    # woodbury gn=1/pcg<=12 is the sweep's warm-start pareto point
+    # (err 0.30 in ~57 ms vs tridiagonal's err 0.77 in ~93 ms).
+    scfg_inc = SolverConfig(gn_iterations=1, gn_tolerance=1e-4,
+                            pcg_iterations=12, pcg_tolerance=1e-4,
+                            preconditioner='woodbury')
     out2 = jax.block_until_ready(sv.solve(data2, warm_sets[0], jmask,
                                           scfg_inc))
     t0 = time.perf_counter()

@@ -246,6 +246,15 @@ class SolverConfig:
     # (loop closures) via the Woodbury identity — the preconditioner
     # becomes a near-exact H^-1 and PCG converges in a handful of
     # iterations; 'jacobi' is the cheap local alternative.
+    #
+    # Choosing for full-graph solves: woodbury costs ~1.7x per PCG
+    # iteration but converges far faster, so at MATCHED final error it
+    # wins decisively on closure-rich graphs — on the 10k-pose bench
+    # graph, woodbury gn=2/pcg<=16 reaches err 0.07 in ~89 ms where
+    # tridiagonal gn=3/pcg<=32 needs ~93 ms for err 0.77 (TPU v5e-1,
+    # experiments/precond_sweep.py).  tridiagonal remains the right
+    # default for closure-sparse chains and for the windowed online
+    # path (which uses method='dense' anyway).
     preconditioner: str = 'tridiagonal'
     # Max off-chain factors given exact low-rank treatment under the
     # 'woodbury' preconditioner; excess off-chain factors fall back to

@@ -233,13 +233,13 @@ def make_beam_frames():
                         n_azimuth=64 if SMOKE else 256,
                         trajectory='circle', radius_m=20.0,
                         world_size_m=80.0, range_noise_m=0.01,
-                        odom_noise=0.005, seed=11)
+                        odom_noise=0.005, seed=11, packed=True)
     frames_16k = list(s16)
     sk = vs.BeamStream(n_scans=26 if SMOKE else 116, n_beams=64,
                        n_azimuth=128 if SMOKE else 2048,
                        trajectory='circle', radius_m=20.0,
                        world_size_m=80.0, range_noise_m=0.01,
-                       odom_noise=0.005, seed=12)
+                       odom_noise=0.005, seed=12, packed=True)
     frames_kitti = list(sk)
     return frames_16k, frames_kitti, s16.last_hit_rate, sk.last_hit_rate
 
@@ -584,15 +584,22 @@ def main():
             solver=SolverConfig(gn_iterations=3, gn_tolerance=1e-4,
                                 pcg_iterations=32, window=64))
 
-    def run_e2e(cfg, beam_frames, n_warm):
+    def run_e2e(cfg, beam_frames, n_warm, packed_az=None):
+        """packed_az: when set, feed the sensor-native uint16 range
+        images (ScanFrame.ranges_mm, 2 B/point) instead of xyz
+        (12 B/point) — the ingest-bandwidth path (ops/spherical.py)."""
         r = online.OnlineRunner(cfg, pose_capacity=2048,
                                 factor_capacity=8192)
+        if packed_az is not None:
+            r.enable_packed_ingest(vs.HDL64_ELEV_DEG, packed_az)
+        payload = ((lambda f: f.ranges_mm) if packed_az is not None
+                   else (lambda f: f.points))
         for f in beam_frames[:n_warm]:
-            r.process_scan(f.time_ns, f.points, f.odom_pose7)
+            r.process_scan(f.time_ns, payload(f), f.odom_pose7)
         jax.block_until_ready(r.state.traj_poses)
         t0 = time.perf_counter()
         for f in beam_frames[n_warm:]:
-            r.process_scan(f.time_ns, f.points, f.odom_pose7)
+            r.process_scan(f.time_ns, payload(f), f.odom_pose7)
         jax.block_until_ready(r.state.traj_poses)
         rate = (len(beam_frames) - n_warm) / (time.perf_counter() - t0)
         traj = online.extract_trajectory(r.state)
@@ -601,7 +608,7 @@ def main():
             - np.stack([f.gt_pose7[4:] for f in beam_frames]), axis=1)
         return rate, float(errs.mean())
 
-    def run_e2e_chunked(cfg, beam_frames, n_warm, chunk=8):
+    def run_e2e_chunked(cfg, beam_frames, n_warm, chunk=8, packed_az=None):
         """Chunked-streaming variant (process_scans / online_chunk):
         C scans per device dispatch.  Semantically identical to the
         per-scan path (test_process_scans_chunk_matches_sequential);
@@ -609,17 +616,21 @@ def main():
         per-dispatch overhead (experiments/chunked_e2e.py)."""
         r = online.OnlineRunner(cfg, pose_capacity=2048,
                                 factor_capacity=8192)
+        if packed_az is not None:
+            r.enable_packed_ingest(vs.HDL64_ELEV_DEG, packed_az)
+        payload = ((lambda f: f.ranges_mm) if packed_az is not None
+                   else (lambda f: f.points))
         for f in beam_frames[:n_warm]:
-            r.process_scan(f.time_ns, f.points, f.odom_pose7)
+            r.process_scan(f.time_ns, payload(f), f.odom_pose7)
         timed = beam_frames[n_warm:]
         timed = timed[:(len(timed) // chunk) * chunk]
-        r.process_scans([(f.time_ns, f.points, f.odom_pose7)
+        r.process_scans([(f.time_ns, payload(f), f.odom_pose7)
                          for f in timed[:chunk]])       # compile chunk shape
         timed = timed[chunk:]
         jax.block_until_ready(r.state.traj_poses)
         t0 = time.perf_counter()
         for k in range(0, len(timed), chunk):
-            r.process_scans([(f.time_ns, f.points, f.odom_pose7)
+            r.process_scans([(f.time_ns, payload(f), f.odom_pose7)
                              for f in timed[k:k + chunk]])
         jax.block_until_ready(r.state.traj_poses)
         return len(timed) / (time.perf_counter() - t0)
@@ -646,6 +657,27 @@ def main():
     ratekc = run_e2e_chunked(cfgk, frames_kitti, n_warm=10)
     extras['tpu_e2e_kitti_chunked_scans_per_sec'] = round(ratekc, 2)
     extras['vs_cpu_e2e_kitti_chunked'] = round(ratekc / cpu_e2e_kitti, 1)
+
+    # Packed ingest: the same frames as sensor-native uint16 range
+    # images (2 B/point vs 12 B xyz; decode on device —
+    # ops/spherical.py).  At KITTI density the xyz upload alone is
+    # ~1.5 MB/scan over a bandwidth-limited transport, which the
+    # per-stage profile (experiments/kitti_step_profile.py) shows is
+    # the dominant per-scan cost; this measures the ingest-bandwidth
+    # fix on the per-scan AND chunked paths.
+    az16 = 64 if SMOKE else 256
+    azk = 128 if SMOKE else 2048
+    ratekp, errkp = run_e2e(cfgk, frames_kitti, n_warm=10, packed_az=azk)
+    extras['tpu_e2e_kitti_packed_scans_per_sec'] = round(ratekp, 2)
+    extras['tpu_e2e_kitti_packed_mean_err_m'] = round(errkp, 3)
+    extras['vs_cpu_e2e_kitti_packed'] = round(ratekp / cpu_e2e_kitti, 1)
+    ratekpc = run_e2e_chunked(cfgk, frames_kitti, n_warm=10, packed_az=azk)
+    extras['tpu_e2e_kitti_packed_chunked_scans_per_sec'] = round(ratekpc, 2)
+    extras['vs_cpu_e2e_kitti_packed_chunked'] = round(
+        ratekpc / cpu_e2e_kitti, 1)
+    rate16p, _ = run_e2e(cfg16, frames_16k, n_warm=8, packed_az=az16)
+    extras['tpu_e2e_beam16k_packed_scans_per_sec'] = round(rate16p, 2)
+    extras['vs_cpu_e2e_16k_packed'] = round(rate16p / cpu_e2e_16k, 1)
 
     # Fleet mode (BASELINE config 5): 256 parallel trajectories on one chip.
     from laser_slam_tpu.parallel import fleet as fleet_mod

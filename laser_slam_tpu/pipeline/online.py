@@ -579,6 +579,53 @@ def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
     return state, info
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('config', 'odometry_free',
+                                    'range_unit_m'),
+                   donate_argnums=(0,))
+def online_step_ranges(state: OnlineState, ranges_u16: jax.Array,
+                       table, odom_pose7: jax.Array,
+                       config: EstimatorConfig,
+                       track_id: jax.Array = jnp.int32(0),
+                       odometry_free: bool = False,
+                       range_unit_m: float = None
+                       ) -> Tuple[OnlineState, StepInfo]:
+    """:func:`online_step` fed by the sensor's native encoding: a uint16
+    range image ``[B, A]`` (0 = no echo) plus a device-resident
+    :class:`ops.spherical.BeamTable`, decoded to Cartesian points as the
+    first fused stage of the same program.
+
+    Why: over a bandwidth-limited host->device transport the xyz upload
+    dominates the whole step at high density (12 B/point f32 vs the
+    sensor's 2 B/point — see ops/spherical.py).  The decode lands the
+    points in the same packed ring-major layout the xyz path uses, so
+    everything downstream (rng-consuming filters included) is shared and
+    the two paths differ only by the range quantization
+    (test_packed_ingest_matches_xyz_ingest).
+    """
+    from laser_slam_tpu.ops import spherical
+    if range_unit_m is None:
+        range_unit_m = spherical.RANGE_UNIT_M
+    points, n_valid = spherical.decode_and_pack(ranges_u16, table,
+                                                range_unit_m)
+    return online_step(state, points, n_valid, odom_pose7, config,
+                       track_id, odometry_free=odometry_free)
+
+
+@functools.partial(jax.jit, static_argnames=('range_unit_m',))
+def decode_ranges_chunk(ranges_u16: jax.Array, table,
+                        range_unit_m: float = None):
+    """Decode a chunk of range images ``[C, B, A]`` into device-resident
+    ``(points [C, B*A, 3], n_valid [C])`` for :func:`online_chunk` — the
+    chunked analogue of :func:`online_step_ranges` (one small upload +
+    one decode dispatch per chunk; the chunk step then runs on device
+    arrays with zero further transfer)."""
+    from laser_slam_tpu.ops import spherical
+    if range_unit_m is None:
+        range_unit_m = spherical.RANGE_UNIT_M
+    return spherical.decode_and_pack(ranges_u16, table, range_unit_m)
+
+
 @functools.partial(jax.jit, static_argnames=('config',),
                    donate_argnums=(0,))
 def online_solve(state: OnlineState, config: EstimatorConfig
@@ -862,6 +909,38 @@ class OnlineRunner:
         self.prefetch_growth_compile = True
         self._prefetch_thread = None
         self._prefetched: set = set()
+        # Packed (uint16 range-image) ingest — see enable_packed_ingest.
+        self._beam_table = None
+        self._range_unit_m = None
+
+    def enable_packed_ingest(self, elev_deg, n_azimuth: int,
+                             range_unit_m: float = None) -> None:
+        """Accept scans as sensor-native uint16 range images.
+
+        After this call, :meth:`process_scan` / :meth:`process_scans`
+        treat a 2-D uint16 ``points`` payload ``[n_beams, n_azimuth]``
+        (0 = no echo, else range in ``range_unit_m`` units — the raw
+        Velodyne word) as a packed scan: it is uploaded as-is (2 B/point
+        vs 12 B for xyz) and decoded to Cartesian on device inside the
+        fused online step (ops/spherical.py has the bandwidth math).
+        Float ``[N, 3]`` payloads keep working unchanged, so mixed
+        streams are fine.  ``elev_deg`` is the sensor's per-ring
+        elevation table (e.g. velodyne_sim.HDL64_ELEV_DEG).
+        """
+        from laser_slam_tpu.ops import spherical
+        self._beam_table = spherical.beam_table(elev_deg, n_azimuth)
+        self._range_unit_m = float(range_unit_m if range_unit_m is not None
+                                   else spherical.RANGE_UNIT_M)
+
+    def _is_packed_scan(self, points) -> bool:
+        packed = (getattr(points, 'dtype', None) == np.uint16
+                  and getattr(points, 'ndim', 0) == 2)
+        if packed and self._beam_table is None:
+            raise ValueError('uint16 range-image scan received but packed '
+                             'ingest is not configured; call '
+                             'enable_packed_ingest(elev_deg, n_azimuth) '
+                             'first')
+        return packed
 
     def _ensure_capacity(self, new_poses: int = 0, new_rels: int = 0,
                          new_priors: int = 0) -> None:
@@ -1080,22 +1159,31 @@ class OnlineRunner:
             new_rels=2 * C - (2 if first_scan_of_track else 0),
             new_priors=1 if first_scan_of_track else 0)
         self._n_rel_host += 2 * C - (2 if first_scan_of_track else 0)
-        padded = np.full((C, self.scan_cap, 3), pc.SENTINEL, np.float32)
-        nv = np.zeros((C,), np.int32)
-        odos = np.zeros((C, 7), np.float32)
-        for k, (t, p, o) in enumerate(chunk):
-            pts = np.asarray(p, np.float32)
-            n = min(len(pts), self.scan_cap)
-            padded[k, :n] = pts[:n]
-            nv[k] = n
-            odos[k] = o
+        odos = np.stack([o for _, _, o in chunk]).astype(np.float32)
+        if self._is_packed_scan(chunk[0][1]):
+            # Packed chunk: one small uint16 upload + one decode dispatch;
+            # online_chunk then consumes the decoded device arrays with no
+            # further host transfer (see online_step_ranges).
+            ranges = np.stack([p for _, p, _ in chunk])
+            dev_pts, dev_nv = decode_ranges_chunk(
+                jnp.asarray(ranges), self._beam_table,
+                range_unit_m=self._range_unit_m)
+        else:
+            padded = np.full((C, self.scan_cap, 3), pc.SENTINEL, np.float32)
+            nv = np.zeros((C,), np.int32)
+            for k, (t, p, o) in enumerate(chunk):
+                pts = np.asarray(p, np.float32)
+                n = min(len(pts), self.scan_cap)
+                padded[k, :n] = pts[:n]
+                nv[k] = n
+            dev_pts, dev_nv = jnp.asarray(padded), jnp.asarray(nv)
         tids = np.full((C,), track_id, np.int32)
         archive = self.archive
         with_archive = archive is not None
         if not with_archive:
             archive = init_archive(1, 1, self.n_tracks)
         out = online_chunk(
-            self.state, archive, jnp.asarray(padded), jnp.asarray(nv),
+            self.state, archive, dev_pts, dev_nv,
             jnp.asarray(odos), jnp.asarray(tids), self.config,
             odometry_free=not self.use_odometry,
             with_archive=with_archive,
@@ -1146,14 +1234,21 @@ class OnlineRunner:
                               new_priors=1 if first_scan_of_track else 0)
         if not first_scan_of_track:
             self._n_rel_host += 2
-        pts = np.asarray(points, np.float32)
-        n = min(len(pts), self.scan_cap)
-        padded = np.full((self.scan_cap, 3), pc.SENTINEL, np.float32)
-        padded[:n] = pts[:n]
-        self.state, info = online_step(
-            self.state, jnp.asarray(padded), jnp.int32(n),
-            jnp.asarray(odom_pose7), self.config, jnp.int32(track_id),
-            odometry_free=not self.use_odometry)
+        if self._is_packed_scan(points):
+            self.state, info = online_step_ranges(
+                self.state, jnp.asarray(points), self._beam_table,
+                jnp.asarray(odom_pose7), self.config, jnp.int32(track_id),
+                odometry_free=not self.use_odometry,
+                range_unit_m=self._range_unit_m)
+        else:
+            pts = np.asarray(points, np.float32)
+            n = min(len(pts), self.scan_cap)
+            padded = np.full((self.scan_cap, 3), pc.SENTINEL, np.float32)
+            padded[:n] = pts[:n]
+            self.state, info = online_step(
+                self.state, jnp.asarray(padded), jnp.int32(n),
+                jnp.asarray(odom_pose7), self.config, jnp.int32(track_id),
+                odometry_free=not self.use_odometry)
         if self.archive is not None:
             self.archive = archive_append(
                 self.archive, self.state.ring_points[track_id, -1],

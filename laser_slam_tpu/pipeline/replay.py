@@ -30,6 +30,11 @@ class ScanFrame:
     odom_pose7: Optional[np.ndarray]   # odometry estimate (None if absent)
     points: np.ndarray                 # [N,3] float32, sensor frame
     gt_pose7: Optional[np.ndarray] = None  # ground truth if known
+    # Sensor-native packed scan, when the source provides it: uint16
+    # range words [n_beams, n_azimuth] (0 = no echo; see ops/spherical).
+    # Feed to OnlineRunner.process_scan after enable_packed_ingest for
+    # 6x less host->device traffic than the xyz payload.
+    ranges_mm: Optional[np.ndarray] = None
 
 
 class SyntheticStream:

@@ -191,6 +191,37 @@ def beam_scan(scene: BeamScene, pose7: np.ndarray,
     return pts.astype(np.float32), hit.reshape(B, C)
 
 
+def beam_scan_packed(scene: BeamScene, pose7: np.ndarray,
+                     elev_deg: np.ndarray = HDL64_ELEV_DEG,
+                     n_azimuth: int = 1024, max_range_m: float = 80.0,
+                     min_range_m: float = 1.5, range_noise_m: float = 0.02,
+                     rng: Optional[np.random.Generator] = None):
+    """:func:`beam_scan` in the sensor's native encoding.
+
+    Returns ``(points [M,3] float32, ranges_mm [n_beams, n_azimuth]
+    uint16)`` from ONE raycast with one noise draw: ``points`` is the
+    exact xyz expansion the xyz ingest path would see, ``ranges_mm`` the
+    packed scan (0 = no echo, 2 mm units — ops/spherical.py) whose
+    on-device decode reproduces ``points`` up to range quantization.
+    Used to bench/test the packed ingest path against the xyz path on
+    identical scans.
+    """
+    from laser_slam_tpu.ops import spherical
+    rng = rng or np.random.default_rng(0)
+    dirs_s = beam_directions(elev_deg, n_azimuth)
+    B, C, _ = dirs_s.shape
+    Rm = _quat_to_matrix(np.asarray(pose7[:4], np.float64))
+    dirs_w = dirs_s.reshape(-1, 3) @ Rm.T
+    origin = np.asarray(pose7[4:], np.float64)
+    t = _raycast(scene, origin, dirs_w)
+    hit = np.isfinite(t) & (t >= min_range_m) & (t <= max_range_m)
+    r = t + rng.normal(size=t.shape) * range_noise_m
+    pts = (dirs_s.reshape(-1, 3) * r[:, None])[hit]
+    ranges = spherical.encode_ranges(
+        np.where(hit, r, 0.0).reshape(B, C), hit.reshape(B, C))
+    return pts.astype(np.float32), ranges
+
+
 class BeamStream:
     """Beam-model replay stream: SyntheticStream's trajectories and world
     shape, with ray-cast HDL-64-class scans instead of uniform sampling.
@@ -206,7 +237,8 @@ class BeamStream:
                  seed: int = 0, period_ns: int = int(1e8),
                  step_m: float = 1.0, laps: int = 1,
                  sensor_height_m: float = 1.5,
-                 center_m: tuple = (0.0, 0.0)):
+                 center_m: tuple = (0.0, 0.0),
+                 packed: bool = False):
         self.n_scans = n_scans
         self.trajectory = trajectory
         self.radius_m = radius_m
@@ -227,6 +259,10 @@ class BeamStream:
         self._rng = np.random.default_rng(seed)
         self.scene = make_beam_scene(seed=seed, world_size_m=world_size_m)
         self.last_hit_rate: float = float('nan')
+        # packed=True: frames additionally carry the sensor-native uint16
+        # range image in ScanFrame.ranges_mm (same raycast + noise draw,
+        # so points and ranges describe the identical scan).
+        self.packed = packed
 
     def gt_pose(self, i: int) -> np.ndarray:
         if self.trajectory == 'circle':
@@ -253,6 +289,14 @@ class BeamStream:
         self.last_hit_rate = float(hit.mean())
         return pts
 
+    def _scan_with_ranges(self, pose7: np.ndarray):
+        pts, ranges = beam_scan_packed(self.scene, pose7, self.elev_deg,
+                                       self.n_azimuth,
+                                       range_noise_m=self.range_noise_m,
+                                       rng=self._rng)
+        self.last_hit_rate = float((ranges > 0).mean())
+        return pts, ranges
+
     def __iter__(self) -> Iterator[ScanFrame]:
         # Pure numpy odometry chain: keeps the stream jax-free so CPU
         # baselines can replay it before any jax runtime threads exist.
@@ -270,7 +314,10 @@ class BeamStream:
                         self._rng.normal(size=6) * self.odom_noise))
                 odom = _np_compose(odom, rel)
             prev_gt = gt
+            if self.packed:
+                pts, ranges = self._scan_with_ranges(gt)
+            else:
+                pts, ranges = self.scan_at(gt), None
             yield ScanFrame(time_ns=i * self.period_ns,
                             odom_pose7=odom.astype(np.float32),
-                            points=self.scan_at(gt),
-                            gt_pose7=gt)
+                            points=pts, gt_pose7=gt, ranges_mm=ranges)

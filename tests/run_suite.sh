@@ -20,7 +20,7 @@ CHUNKS=(
   "tests/test_se3.py tests/test_cloud.py tests/test_neighbors.py tests/test_range_image.py"
   "tests/test_icp.py tests/test_pallas_nn.py tests/test_benchmarker.py"
   "tests/test_solver.py tests/test_track_estimator.py"
-  "tests/test_solver_fast.py tests/test_velodyne_sim.py tests/test_evaluation.py"
+  "tests/test_solver_fast.py tests/test_velodyne_sim.py tests/test_evaluation.py tests/test_spherical.py"
   "tests/test_worker.py tests/test_checkpoint.py tests/test_pipeline_tools.py"
   "tests/test_online.py"
   "tests/test_fleet.py tests/test_rosbag.py tests/test_place_recognition.py"

@@ -30,7 +30,12 @@ def load_bench(path):
 
 
 def fmt(x, nd=1):
-    return f'{x:.{nd}f}'.rstrip('0').rstrip('.') if isinstance(x, float) else str(x)
+    """Fixed-point with trailing-zero cleanup AFTER the decimal point
+    only ('60.0' -> '60', but never '60' -> '6')."""
+    if not isinstance(x, float):
+        return str(x)
+    s = f'{x:.{nd}f}'
+    return s.rstrip('0').rstrip('.') if '.' in s else s
 
 
 def render_readme(m):
@@ -73,8 +78,20 @@ def render_readme(m):
         if g('vs_cpu_e2e_kitti'):
             t += f" ({fmt(max(g('vs_cpu_e2e_kitti'), g('vs_cpu_e2e_kitti_chunked') or 0), 0)}x CPU e2e)"
         row('End-to-end at KITTI density (131k-pt, 64-beam)', t)
+    if g('tpu_e2e_kitti_packed_scans_per_sec'):
+        t = f"{fmt(g('tpu_e2e_kitti_packed_scans_per_sec'), 0)} scans/s per-scan"
+        if g('tpu_e2e_kitti_packed_chunked_scans_per_sec'):
+            t = (f"**{fmt(g('tpu_e2e_kitti_packed_chunked_scans_per_sec'), 0)}** scans/s chunked / "
+                 + t)
+        vs_p = max(g('vs_cpu_e2e_kitti_packed') or 0,
+                   g('vs_cpu_e2e_kitti_packed_chunked') or 0)
+        if vs_p:
+            t += f" ({fmt(vs_p, 0)}x CPU e2e)"
+        row('KITTI density, packed uint16 ingest (sensor-native 2 B/pt)', t)
     if g('tpu_solve_ms_per_scan_window64') is not None:
         t = f"{fmt(g('tpu_solve_ms_per_scan_window64'), 2)} ms marginal device cost"
+        if g('tpu_solve_window64_amortized_ms'):
+            t += f" / {fmt(g('tpu_solve_window64_amortized_ms'), 1)} ms amortized"
         if g('cpu_sparse_backsolve_10k_ms'):
             t += (f" (CPU anchors: {fmt(g('cpu_sparse_factorize_solve_10k_ms'), 0)} ms refactorize"
                   f" / {fmt(g('cpu_sparse_backsolve_10k_ms'), 1)} ms cached backsolve)")
@@ -147,6 +164,12 @@ def render_claude(m):
                      f"{ckk} at KITTI 131k.  CPU e2e baseline"
                      f" {fmt(g('cpu_e2e_scans_per_sec') or 0, 2)} / "
                      f"{fmt(g('cpu_e2e_kitti_density_scans_per_sec') or 0, 2)} scans/s.")
+        if g('tpu_e2e_kitti_packed_scans_per_sec'):
+            lines.append(f"- Packed uint16 ingest (2 B/pt, on-device decode):"
+                         f" {fmt(g('tpu_e2e_kitti_packed_scans_per_sec'), 0)} scans/s"
+                         f" ({fmt(g('tpu_e2e_kitti_packed_chunked_scans_per_sec') or 0, 0)} chunked)"
+                         f" at KITTI 131k; {fmt(g('tpu_e2e_beam16k_packed_scans_per_sec') or 0, 0)}"
+                         ' at 16k.')
     if g('tpu_gn_solve_10k_cold_ms'):
         lines.append(f"- Solver: 10k-pose GN {fmt(g('tpu_gn_solve_10k_cold_ms'), 0)} ms cold"
                      f" / {fmt(g('tpu_gn_solve_10k_incremental_ms'), 0)} ms incremental;"

@@ -190,6 +190,27 @@ def main():
         return c + out.error_final * 1e-9
     results['solve_inc'] = marginal_ms(f_inc, poses, k1=1, k2=3)
 
+    # NEW incremental path: cached preconditioner (build once, extend by
+    # one factor, solve with the cache).
+    cache = sv.build_cache(data, poses, mask, cfg)
+    jax.block_until_ready(cache.chol)
+
+    def f_ext(x, i, c):
+        e = sv.extend_cache(data, x + 1e-6 * c, mask, cache,
+                            jnp.int32(10_050), cfg)
+        return c + e.chol[0, 0] * 1e-9
+    results['extend_cache'] = marginal_ms(f_ext, poses)
+
+    def f_sc(x, i, c):
+        out = sv.solve_cached(data, x + 1e-6 * c, mask, cache, cfg_inc)
+        return c + out.error_final * 1e-9
+    results['solve_cached'] = marginal_ms(f_sc, poses, k1=1, k2=3)
+
+    def f_bc(x, i, c):
+        e = sv.build_cache(data, x + 1e-6 * c, mask, cfg)
+        return c + e.chol[0, 0] * 1e-9
+    results['build_cache'] = marginal_ms(f_bc, poses, k1=1, k2=3)
+
     for k, v in results.items():
         print(f'{k:16s} {v:8.2f} ms')
 

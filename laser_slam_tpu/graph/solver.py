@@ -354,6 +354,10 @@ def _tridiag_factor(B, A):
     Returns the per-level factors for :func:`_tridiag_apply` — the matrix
     part is independent of the right-hand side, so PCG factors once per
     linearization and pays only the cheap r-sweep per iteration.
+
+    The returned ``(levels, root_inv)`` tuple is a pure array pytree (no
+    static sizes), so it can be returned from / passed into jitted
+    functions — :class:`WoodburyCache` persists it across solves.
     """
     n0 = B.shape[0]
     n = 1
@@ -388,15 +392,18 @@ def _tridiag_factor(B, A):
         C = -G_right @ Co
 
     root_inv = _chol_inverse6(B)
-    return (n0, levels, root_inv)
+    return (levels, root_inv)
 
 
 def _tridiag_apply(factors, r):
     """Solve T x = r given a cyclic-reduction factorization.
 
     ``r`` may be [N,6] or [N,6,K] (K right-hand sides solved together —
-    the Woodbury preconditioner batches its low-rank columns this way)."""
-    n0, levels, root_inv = factors
+    the Woodbury preconditioner batches its low-rank columns this way).
+    N must equal the size the factorization was built at (the power-of-two
+    padding is re-derived from ``r.shape[0]``)."""
+    levels, root_inv = factors
+    n0 = r.shape[0]
     n = 1
     while n < n0:
         n *= 2
@@ -475,23 +482,31 @@ def _offchain_blocks(lin: _LinearizedGraph, sel, valid):
     return Ua, Ub, ka, kb
 
 
-def _make_preconditioner(lin: _LinearizedGraph, damping, config):
-    """Build ``apply_M(r) ~= H^-1 r`` once; reused across every PCG
-    iteration AND every GN step of a solve (near the optimum the
-    linearization barely moves, and a preconditioner only shapes the
-    convergence path, never the fixed point)."""
-    kind = config.preconditioner
-    if kind == 'jacobi':
-        Minv = _block_jacobi(lin, damping)
-        return lambda r: jnp.einsum('nij,nj->ni', Minv, r)
+class WoodburyCache(NamedTuple):
+    """Persisted Woodbury preconditioner state — the iSAM2-reuse analogue.
 
-    if kind == 'tridiagonal':
-        factors = _tridiag_factor(*_build_tridiag(lin, damping))
-        return lambda r: _tridiag_apply(factors, r)
+    GTSAM's iSAM2 keeps a factorized Bayes tree across ``update()`` calls
+    and only re-eliminates the affected cliques
+    (incremental_estimator.cpp:151-163).  The TPU equivalent: keep the
+    cyclic-reduction chain factorization T0 and the dense Cholesky of the
+    low-rank capacitance across solves; absorbing ONE new loop-closure
+    factor is a rank-6 *extension* of the capacitance factor
+    (:func:`extend_cache`) — no O(N) rebuild.
 
-    if kind != 'woodbury':
-        raise ValueError(f'unknown preconditioner {kind!r}')
+    All fields are fixed-shape arrays (identity padding rows in ``chol``
+    for unused slots), so the cache round-trips through jit unchanged.
+    """
+    factors: tuple       # (levels, root_inv) cyclic-reduction factors of T0
+    Ua: jax.Array        # [L,6,6] column-scaled off-chain blocks (key_a)
+    Ub: jax.Array        # [L,6,6] (key_b)
+    ka: jax.Array        # [L] int32 pose keys
+    kb: jax.Array        # [L]
+    chol: jax.Array      # [K,K] LOWER-triangular Cholesky of the capacitance
+    n_used: jax.Array    # int32: occupied slots (append cursor)
 
+
+def _build_woodbury_cache(lin: _LinearizedGraph, damping,
+                          config) -> WoodburyCache:
     sel, valid = _select_offchain(lin, config.offchain_capacity)
     # T0 excludes the SELECTED off-chain factors entirely (their diagonal
     # contribution rides in U U^T); unselected off-chain overflow keeps
@@ -532,23 +547,57 @@ def _make_preconditioner(lin: _LinearizedGraph, damping, config):
     # correction; scaling each diagonal entry by (1 + 1e-5) only nudges
     # the factorization toward SPD.
     C = C + jnp.diag(1e-5 * jnp.abs(jnp.diagonal(C)))
-    C_chol = jax.scipy.linalg.cho_factor(C)
+    # Lower-triangular factor as a PLAIN matrix (not a cho_factor opaque
+    # pair) so extend_cache can append block rows in place.  Padding slots
+    # (valid=False) have zero U blocks and diag_c=1 → identity rows, so
+    # the factor is well-defined at any fill level.
+    chol = jnp.linalg.cholesky(C)
+    n_used = jnp.sum(valid.astype(jnp.int32))
+    return WoodburyCache(factors=factors, Ua=Ua, Ub=Ub, ka=ka, kb=kb,
+                         chol=chol, n_used=n_used)
+
+
+def _apply_from_cache(cache: WoodburyCache):
+    """apply_M(r) ~= H^-1 r from a (possibly extended) WoodburyCache."""
+    L = cache.Ua.shape[0]
+    K = 6 * L
+    Ua, Ub, ka, kb = cache.Ua, cache.Ub, cache.ka, cache.kb
 
     def apply_M(r):
-        t1 = _tridiag_apply(factors, r)
+        t1 = _tridiag_apply(cache.factors, r)
         c = (jnp.einsum('lsc,ls->lc', Ua, t1[ka]) +
              jnp.einsum('lsc,ls->lc', Ub, t1[kb])).reshape(K)
-        y = jax.scipy.linalg.cho_solve(C_chol, c).reshape(L, 6)
+        y = jax.scipy.linalg.cho_solve((cache.chol, True), c).reshape(L, 6)
         z = jnp.zeros_like(r)
         z = z.at[ka].add(jnp.einsum('lsc,lc->ls', Ua, y))
         z = z.at[kb].add(jnp.einsum('lsc,lc->ls', Ub, y))
-        out = t1 - _tridiag_apply(factors, z)
+        out = t1 - _tridiag_apply(cache.factors, z)
         # NaN guard (SURVEY §5 failure handling): a failed capacitance
         # factorization must degrade to the chain preconditioner, never
         # poison the trajectory.
         return jnp.where(jnp.isfinite(out), out, t1)
 
     return apply_M
+
+
+def _make_preconditioner(lin: _LinearizedGraph, damping, config):
+    """Build ``apply_M(r) ~= H^-1 r`` once; reused across every PCG
+    iteration AND every GN step of a solve (near the optimum the
+    linearization barely moves, and a preconditioner only shapes the
+    convergence path, never the fixed point)."""
+    kind = config.preconditioner
+    if kind == 'jacobi':
+        Minv = _block_jacobi(lin, damping)
+        return lambda r: jnp.einsum('nij,nj->ni', Minv, r)
+
+    if kind == 'tridiagonal':
+        factors = _tridiag_factor(*_build_tridiag(lin, damping))
+        return lambda r: _tridiag_apply(factors, r)
+
+    if kind != 'woodbury':
+        raise ValueError(f'unknown preconditioner {kind!r}')
+
+    return _apply_from_cache(_build_woodbury_cache(lin, damping, config))
 
 
 # ---------------------------------------------------------------------------
@@ -720,6 +769,186 @@ def solve(graph: FactorGraphData, poses, pose_mask,
         # gn_tolerance, later iterations are skipped entirely (lax.cond
         # executes one branch) — the warm-started incremental solve pays
         # for ONE linearize+solve instead of gn_iterations of them.
+        def run(poses):
+            return one_step(poses)
+
+        def skip(poses):
+            return poses, jnp.int32(0), last_delta
+
+        poses, it, dnorm = jax.lax.cond(last_delta >= gn_tol, run, skip,
+                                        poses)
+        return (poses, total + it, dnorm), None
+
+    (poses_out, pcg_total, _), _ = jax.lax.scan(
+        gn_step, (poses, jnp.int32(0), jnp.float32(jnp.inf)), None,
+        length=config.gn_iterations)
+    e1 = graph_error(graph, poses_out)
+    return SolveResult(poses=poses_out, error_initial=e0, error_final=e1,
+                       pcg_iterations=pcg_total)
+
+
+# ---------------------------------------------------------------------------
+# Cached / truly-incremental solving (the iSAM2-reuse seam)
+# ---------------------------------------------------------------------------
+
+def _chol6_matrix(A):
+    """Unrolled 6x6 Cholesky returning a dense lower-triangular matrix."""
+    L = _cholesky6(A)
+    rows = []
+    for i in range(6):
+        cols = [L[i][j] if j <= i else jnp.zeros_like(A[..., 0, 0])
+                for j in range(6)]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+@partial(jax.jit, static_argnames=('config',))
+def build_cache(graph: FactorGraphData, poses, pose_mask,
+                config: SolverConfig) -> WoodburyCache:
+    """Factor the Woodbury preconditioner once, for reuse across solves.
+
+    The cache is valid as long as the graph's CHAIN part (consecutive-key
+    factors and priors) is unchanged; new off-chain factors are absorbed
+    with :func:`extend_cache`.  Staleness (pose drift, appended chain
+    factors) only costs PCG iterations, never accuracy — the
+    preconditioner shapes convergence, PCG's matvec uses the fresh
+    linearization.
+    """
+    lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
+    return _build_woodbury_cache(lin, jnp.float32(config.damping), config)
+
+
+@partial(jax.jit, static_argnames=('config',))
+def extend_cache(graph: FactorGraphData, poses, pose_mask,
+                 cache: WoodburyCache, factor_idx,
+                 config: SolverConfig) -> WoodburyCache:
+    """Absorb ONE new off-chain (loop-closure) factor into the cache.
+
+    The rank-6 analogue of iSAM2 re-eliminating only the cliques a new
+    factor touches (incremental_estimator.cpp:151-163): with the
+    capacitance C = L L^T already factored and a new scaled column block
+    u, the extended factor is
+
+        [[C, B], [B^T, D]]  ->  L_new = [[L, 0], [X^T, chol(D - X^T X)]],
+        B = U_old^T T0^-1 u,  X = L^-1 B,
+
+    costing one chain solve with 6 right-hand sides + one [K,6]
+    triangular solve — O(N log N / K^2) work instead of the full O(N K)
+    rebuild.  Slots are appended in order; when the off-chain capacity is
+    full the cache is returned unchanged (the factor then simply isn't
+    preconditioned — PCG still converges, just slower).
+    """
+    n = poses.shape[0]
+    L_cap = cache.Ua.shape[0]
+    K = 6 * L_cap
+
+    # --- Linearize just the new factor (whitened, weighted, free-gated).
+    ka_n = graph.rel_keys[factor_idx, 0]
+    kb_n = graph.rel_keys[factor_idx, 1]
+    r, Ja, Jb = _rel_linearize_analytic(poses[ka_n][None], poses[kb_n][None],
+                                        graph.rel_meas[factor_idx][None])
+    s_info = graph.rel_sqrt_info[factor_idx]
+    r_w = r[0] * s_info
+    Ja_w = Ja[0] * s_info[:, None]
+    Jb_w = Jb[0] * s_info[:, None]
+    w = graph.rel_weight[factor_idx] * _cauchy_weight(
+        r_w, graph.rel_robust[factor_idx], config.cauchy_k)
+    Ja_w = jnp.where(graph.rel_fixed_a[factor_idx], 0.0, Ja_w)
+
+    gauge = jnp.any(graph.prior_sqrt_info > GAUGE_FIX_THRESHOLD, axis=-1)
+    frozen = jnp.zeros((n,), bool).at[graph.prior_keys].max(
+        gauge & (graph.prior_weight > 0))
+    free = (pose_mask & ~frozen).astype(poses.dtype)
+
+    sw = jnp.sqrt(w)
+    Ua_n = Ja_w.T * sw * free[ka_n]              # [6(state),6(col)]
+    Ub_n = Jb_w.T * sw * free[kb_n]
+
+    # --- Column scaling, mirroring _build_woodbury_cache exactly.
+    cn = jnp.sqrt(jnp.sum(Ua_n * Ua_n, axis=0) + jnp.sum(Ub_n * Ub_n, axis=0))
+    s = jnp.where(cn > 1e-20, 1.0 / jnp.maximum(cn, 1e-20), 0.0)   # [6]
+    Ua_n = Ua_n * s[None, :]
+    Ub_n = Ub_n * s[None, :]
+    diag_c = jnp.where(cn > 1e-20, s * s, 1.0)
+
+    # --- v = T0^-1 u  (one chain solve, 6 RHS).
+    u = jnp.zeros((n, 6, 6), poses.dtype)
+    u = u.at[ka_n].add(Ua_n).at[kb_n].add(Ub_n)
+    v = _tridiag_apply(cache.factors, u)                          # [n,6,6]
+
+    # --- Coupling to existing columns and the new diagonal block.
+    B = (jnp.einsum('lsc,lsd->lcd', cache.Ua, v[cache.ka]) +
+         jnp.einsum('lsc,lsd->lcd', cache.Ub, v[cache.kb])).reshape(K, 6)
+    D = (jnp.einsum('sc,sd->cd', Ua_n, v[ka_n]) +
+         jnp.einsum('sc,sd->cd', Ub_n, v[kb_n]) + jnp.diag(diag_c))
+    D = D + jnp.diag(1e-5 * jnp.abs(jnp.diagonal(D)))
+
+    # --- Block-Cholesky extension at the append cursor.  Rows of B at
+    # padding slots are zero (their U blocks are zero), so X inherits
+    # zeros there and the row write below stays consistent with the
+    # identity padding.
+    X = jax.scipy.linalg.solve_triangular(cache.chol, B, lower=True)  # [K,6]
+    S = D - X.T @ X
+    Ls = _chol6_matrix(S)
+
+    # Capacity overflow: re-write the occupied slot's OWN values — the
+    # cache is then unchanged (the factor simply isn't preconditioned;
+    # PCG still converges, just slower).
+    full = cache.n_used >= L_cap
+    slot = jnp.minimum(cache.n_used, L_cap - 1)
+    Ua_n = jnp.where(full, cache.Ua[slot], Ua_n)
+    Ub_n = jnp.where(full, cache.Ub[slot], Ub_n)
+    old_row = jax.lax.dynamic_slice(cache.chol, (6 * slot, 0), (6, K))
+    row = X.T                                                     # [6,K]
+    row = jax.lax.dynamic_update_slice(row, Ls, (0, 6 * slot))
+    row = jnp.where(full, old_row, row)
+    ka_w = jnp.where(full, cache.ka[slot], ka_n.astype(cache.ka.dtype))
+    kb_w = jnp.where(full, cache.kb[slot], kb_n.astype(cache.kb.dtype))
+    return WoodburyCache(
+        factors=cache.factors,
+        Ua=jax.lax.dynamic_update_slice(cache.Ua, Ua_n[None], (slot, 0, 0)),
+        Ub=jax.lax.dynamic_update_slice(cache.Ub, Ub_n[None], (slot, 0, 0)),
+        ka=cache.ka.at[slot].set(ka_w),
+        kb=cache.kb.at[slot].set(kb_w),
+        chol=jax.lax.dynamic_update_slice(cache.chol, row, (6 * slot, 0)),
+        n_used=jnp.where(full, cache.n_used, cache.n_used + 1),
+    )
+
+
+@partial(jax.jit, static_argnames=('config',))
+def solve_cached(graph: FactorGraphData, poses, pose_mask,
+                 cache: WoodburyCache,
+                 config: SolverConfig) -> SolveResult:
+    """Gauss-Newton with a PREBUILT preconditioner — the incremental
+    fast path.  Identical fixed point to :func:`solve` (the matvec and
+    gradient use the fresh linearization; only the preconditioner is
+    cached), but skips the T0 factorization and capacitance build that
+    dominate a cold solve.
+    """
+    damping = jnp.float32(config.damping)
+    gauge = (jnp.any(graph.prior_sqrt_info > GAUGE_FIX_THRESHOLD, axis=-1)
+             & (graph.prior_weight > 0))
+    snap_idx = jnp.where(gauge, graph.prior_keys, poses.shape[0])
+    poses = poses.at[snap_idx].set(graph.prior_meas, mode='drop')
+
+    e0 = graph_error(graph, poses)
+    gn_tol = config.gn_tolerance
+    n_active = jnp.maximum(jnp.sum(pose_mask.astype(jnp.float32)), 1.0)
+    apply_M = _apply_from_cache(cache)
+
+    def one_step(poses):
+        lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
+        b = -_gradient(lin)
+        delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
+                             config.pcg_tolerance, apply_M)
+        delta = jnp.nan_to_num(delta) * lin.free[:, None]
+        new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
+        new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
+        return new_poses, pcg_it, jnp.linalg.norm(delta) / jnp.sqrt(n_active)
+
+    def gn_step(carry, _):
+        poses, total, last_delta = carry
+
         def run(poses):
             return one_step(poses)
 

@@ -1,0 +1,160 @@
+"""WoodburyCache: cached/extended preconditioner correctness.
+
+The cache is the iSAM2-reuse analogue (incremental_estimator.cpp:151-163:
+iSAM2 keeps its Bayes tree factorized across updates); these tests pin
+that (a) solving with a prebuilt cache reaches the same optimum as the
+self-building solve, (b) extending the cache by one new loop-closure
+factor reproduces the freshly rebuilt preconditioner, and (c) capacity
+overflow degrades gracefully instead of corrupting slots.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laser_slam_tpu.config import SolverConfig
+from laser_slam_tpu.graph import factors as fg
+from laser_slam_tpu.graph import solver as sv
+from laser_slam_tpu.ops import se3
+
+SIG = np.full(6, 0.01, np.float32)
+PRIOR_SIG = np.full(6, 1e-7, np.float32)
+N = 64
+CAP = 64
+
+
+def build_loopy_chain(rng, n=N, n_lc=3):
+    """Chain + evenly spaced loop closures, measurements from ground truth."""
+    xis = rng.normal(size=(n - 1, 6)).astype(np.float32) * 0.1
+    poses = [np.asarray(se3.identity())]
+    for i in range(n - 1):
+        poses.append(np.asarray(
+            se3.compose(jnp.asarray(poses[-1]), se3.exp(jnp.asarray(xis[i])))))
+    gt = np.stack(poses)
+
+    g = fg.HostGraph()
+    g.add_prior(0, gt[0], PRIOR_SIG)
+    for i in range(n - 1):
+        meas = se3.compose(se3.inverse(jnp.asarray(gt[i])),
+                           jnp.asarray(gt[i + 1]))
+        g.add_relative(i, i + 1, np.asarray(meas), SIG)
+    for k in range(n_lc):
+        a = k * (n // (n_lc + 1))
+        b = a + n // 2
+        if b >= n:
+            continue
+        meas = se3.compose(se3.inverse(jnp.asarray(gt[a])),
+                           jnp.asarray(gt[b]))
+        g.add_relative(a, b, np.asarray(meas), SIG * 0.5)
+    return g, gt
+
+
+def pad_poses(poses_np, capacity=CAP, jitter=None, rng=None):
+    n = poses_np.shape[0]
+    out = np.zeros((capacity, 7), np.float32)
+    out[:, 0] = 1.0
+    out[:n] = poses_np
+    if jitter:
+        out[1:n, 4:] += rng.normal(size=(n - 1, 3)).astype(np.float32) * jitter
+    mask = np.zeros(capacity, bool)
+    mask[:n] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+CFG = SolverConfig(gn_iterations=3, pcg_iterations=32, pcg_tolerance=1e-7,
+                   preconditioner='woodbury', offchain_capacity=8)
+
+
+def test_solve_cached_matches_solve(rng):
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.05, rng=rng)
+    data = g.to_device()
+    res_plain = sv.solve(data, poses, mask, CFG)
+    cache = sv.build_cache(data, poses, mask, CFG)
+    res_cached = sv.solve_cached(data, poses, mask, cache, CFG)
+    np.testing.assert_allclose(np.asarray(res_cached.poses)[:N],
+                               np.asarray(res_plain.poses)[:N], atol=1e-5)
+    assert float(res_cached.error_final) <= float(res_plain.error_final) + 1e-4
+
+
+def test_extend_matches_fresh_rebuild(rng):
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.02, rng=rng)
+    cache = sv.build_cache(g.to_device(), poses, mask, CFG)
+    n0 = int(cache.n_used)
+
+    # Append one new loop-closure factor (off-chain) and extend.
+    a, b = 5, 50
+    meas = se3.compose(se3.inverse(jnp.asarray(gt[a])), jnp.asarray(gt[b]))
+    idx = g.add_relative(a, b, np.asarray(meas), SIG * 0.5)
+    data2 = g.to_device()
+    ext = sv.extend_cache(data2, poses, mask, cache, jnp.int32(idx), CFG)
+    fresh = sv.build_cache(data2, poses, mask, CFG)
+
+    assert int(ext.n_used) == n0 + 1
+    assert int(fresh.n_used) == n0 + 1
+    # Identical OCCUPIED slot layout (selection is index-ordered, extension
+    # appends); padding slots carry arbitrary keys with zero U blocks.
+    m = n0 + 1
+    np.testing.assert_array_equal(np.asarray(ext.ka)[:m],
+                                  np.asarray(fresh.ka)[:m])
+    np.testing.assert_array_equal(np.asarray(ext.kb)[:m],
+                                  np.asarray(fresh.kb)[:m])
+    np.testing.assert_allclose(np.asarray(ext.Ua)[:m],
+                               np.asarray(fresh.Ua)[:m],
+                               rtol=1e-4, atol=1e-6)
+
+    # The preconditioner APPLICATIONS must agree (the factorizations may
+    # differ by round-off ordering).
+    r = jnp.asarray(rng.normal(size=(CAP, 6)).astype(np.float32))
+    y_ext = jax.jit(lambda rr: sv._apply_from_cache(ext)(rr))(r)
+    y_fresh = jax.jit(lambda rr: sv._apply_from_cache(fresh)(rr))(r)
+    np.testing.assert_allclose(np.asarray(y_ext), np.asarray(y_fresh),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_solve_cached_after_extension_converges(rng):
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.05, rng=rng)
+    data1 = g.to_device()
+    res1 = sv.solve(data1, poses, mask, CFG)
+    cache = sv.build_cache(data1, poses, mask, CFG)
+
+    # New loop closure arrives; warm-start from the previous optimum.
+    a, b = 8, 55
+    meas = se3.compose(se3.inverse(jnp.asarray(gt[a])), jnp.asarray(gt[b]))
+    idx = g.add_relative(a, b, np.asarray(meas), SIG * 0.2)
+    data2 = g.to_device()
+    ext = sv.extend_cache(data2, res1.poses, mask, cache, jnp.int32(idx), CFG)
+
+    res_inc = sv.solve_cached(data2, res1.poses, mask, ext, CFG)
+    res_full = sv.solve(data2, res1.poses, mask, CFG)
+    np.testing.assert_allclose(np.asarray(res_inc.poses)[:N, 4:],
+                               np.asarray(res_full.poses)[:N, 4:], atol=1e-4)
+    assert float(res_inc.error_final) <= float(res_full.error_final) * 1.5 + 1e-5
+
+
+def test_extend_overflow_is_noop(rng):
+    g, gt = build_loopy_chain(rng, n_lc=3)
+    poses, mask = pad_poses(gt, jitter=0.02, rng=rng)
+    cfg = SolverConfig(gn_iterations=2, pcg_iterations=32,
+                       pcg_tolerance=1e-7, preconditioner='woodbury',
+                       offchain_capacity=3)  # exactly full after build
+    cache = sv.build_cache(g.to_device(), poses, mask, cfg)
+    assert int(cache.n_used) == 3
+
+    a, b = 10, 40
+    meas = se3.compose(se3.inverse(jnp.asarray(gt[a])), jnp.asarray(gt[b]))
+    idx = g.add_relative(a, b, np.asarray(meas), SIG)
+    data2 = g.to_device()
+    ext = sv.extend_cache(data2, poses, mask, cache, jnp.int32(idx), cfg)
+    assert int(ext.n_used) == 3
+    np.testing.assert_array_equal(np.asarray(ext.chol),
+                                  np.asarray(cache.chol))
+    np.testing.assert_array_equal(np.asarray(ext.Ua), np.asarray(cache.Ua))
+
+    # Solve still converges (the unpreconditioned factor costs PCG iters).
+    res = sv.solve_cached(data2, poses, mask, ext, cfg)
+    res_full = sv.solve(data2, poses, mask, cfg)
+    np.testing.assert_allclose(np.asarray(res.poses)[:N, 4:],
+                               np.asarray(res_full.poses)[:N, 4:], atol=5e-4)

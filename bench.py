@@ -586,13 +586,13 @@ def main():
 
     def run_e2e(cfg, beam_frames, n_warm, packed_az=None):
         """packed_az: when set, feed the sensor-native uint16 range
-        images (ScanFrame.ranges_mm, 2 B/point) instead of xyz
+        images (ScanFrame.range_words, 2 B/point) instead of xyz
         (12 B/point) — the ingest-bandwidth path (ops/spherical.py)."""
         r = online.OnlineRunner(cfg, pose_capacity=2048,
                                 factor_capacity=8192)
         if packed_az is not None:
             r.enable_packed_ingest(vs.HDL64_ELEV_DEG, packed_az)
-        payload = ((lambda f: f.ranges_mm) if packed_az is not None
+        payload = ((lambda f: f.range_words) if packed_az is not None
                    else (lambda f: f.points))
         for f in beam_frames[:n_warm]:
             r.process_scan(f.time_ns, payload(f), f.odom_pose7)
@@ -618,7 +618,7 @@ def main():
                                 factor_capacity=8192)
         if packed_az is not None:
             r.enable_packed_ingest(vs.HDL64_ELEV_DEG, packed_az)
-        payload = ((lambda f: f.ranges_mm) if packed_az is not None
+        payload = ((lambda f: f.range_words) if packed_az is not None
                    else (lambda f: f.points))
         for f in beam_frames[:n_warm]:
             r.process_scan(f.time_ns, payload(f), f.odom_pose7)

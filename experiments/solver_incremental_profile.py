@@ -125,7 +125,7 @@ def main():
     def f_tri(x, i, c):
         l2 = lin._replace(r_rel=lin.r_rel + 1e-9 * c)
         fac = sv._tridiag_factor(*sv._build_tridiag(l2, damping))
-        return c + fac[2][0, 0, 0]
+        return c + fac[1][0, 0, 0]
     results['tri_build'] = marginal_ms(f_tri, poses)
 
     # woodbury V build ([N,6,K] chain solve)

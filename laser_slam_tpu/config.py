@@ -260,6 +260,14 @@ class SolverConfig:
     # 'woodbury' preconditioner; excess off-chain factors fall back to
     # the tridiagonal approximation (more PCG iterations, same answer).
     offchain_capacity: int = 64
+    # Cached-preconditioner staleness bound (OnlineRunner loop-closure
+    # solves): once this many factors have been appended since the
+    # WoodburyCache was built, the next full solve rebuilds it instead of
+    # extending — appended CHAIN factors are invisible to the cached
+    # chain factorization (their poses ride identity rows), costing PCG
+    # iterations.  Correctness never depends on this (the preconditioner
+    # only shapes convergence); 256 factors = 128 scans of drift.
+    cache_rebuild_after: int = 256
     pose_capacity: int = 1024            # initial key budget; doubles on overflow
     factor_capacity: int = 4096          # initial factor budget
     cauchy_k: float = 1.0                # mEstimator::Cauchy::Create(1)

@@ -67,10 +67,15 @@ def beam_table(elev_deg, n_azimuth: int) -> BeamTable:
 def encode_ranges(ranges_m: np.ndarray, valid: np.ndarray,
                   range_unit_m: float = RANGE_UNIT_M) -> np.ndarray:
     """Host-side encode: metric ranges [B,A] -> uint16 range words
-    (0 = no echo).  Valid ranges clip to [1, 65535] units."""
+    (0 = no echo).  Valid ranges clip to [1, 65535] units; ranges BEYOND
+    the encodable ceiling (65535 units = 131.07 m at the native LSB)
+    become no-echo rather than silently aliasing to the ceiling — a real
+    sensor reports no return past its range limit, and a 200 m wall
+    masquerading as a 131 m point would poison ICP."""
     words = np.rint(np.asarray(ranges_m, np.float64) / range_unit_m)
+    over = words > np.iinfo(np.uint16).max
     words = np.clip(words, 1, np.iinfo(np.uint16).max)
-    return np.where(valid, words, 0).astype(np.uint16)
+    return np.where(valid & ~over, words, 0).astype(np.uint16)
 
 
 def decode_range_image(ranges_u16: jax.Array, table: BeamTable,

@@ -536,13 +536,14 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     return state, info
 
 
-def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
-                         key_b: jax.Array, a_T_a_b: jax.Array,
-                         config: EstimatorConfig,
-                         remove_prior_slot: jax.Array,
-                         use_association: bool
-                         ) -> Tuple[OnlineState, StepInfo]:
-    """Append one loop-closure factor (frame of key_a) and full-solve.
+def _append_lc_factor(state: OnlineState, key_a: jax.Array,
+                      key_b: jax.Array, a_T_a_b: jax.Array,
+                      config: EstimatorConfig,
+                      remove_prior_slot: jax.Array,
+                      use_association: bool
+                      ) -> Tuple[OnlineState, jax.Array]:
+    """Append one loop-closure factor (frame of key_a); returns the new
+    factor's index.
 
     Cross-track linking closures use the tighter first-association sigmas
     and deactivate the absorbed track's prior — pass
@@ -568,6 +569,20 @@ def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
         prior_weight=state.prior_weight.at[
             jnp.where(remove_prior_slot >= 0, remove_prior_slot,
                       state.prior_weight.shape[0])].set(0.0, mode='drop'))
+    return state, n_rel
+
+
+def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
+                         key_b: jax.Array, a_T_a_b: jax.Array,
+                         config: EstimatorConfig,
+                         remove_prior_slot: jax.Array,
+                         use_association: bool
+                         ) -> Tuple[OnlineState, StepInfo]:
+    """Append one loop-closure factor and full-solve (cold preconditioner
+    build each time; :func:`_append_lc_and_solve_cached` is the
+    iSAM2-equivalent reuse path)."""
+    state, _ = _append_lc_factor(state, key_a, key_b, a_T_a_b, config,
+                                 remove_prior_slot, use_association)
     pose_mask = jnp.arange(state.traj_poses.shape[0]) < state.n_poses
     result = sv.solve(_graph_view(state), state.traj_poses, pose_mask,
                       config.solver)
@@ -577,6 +592,29 @@ def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
                     icp_inliers=jnp.int32(0),
                     solve_error=result.error_final)
     return state, info
+
+
+def _append_lc_and_solve_cached(state: OnlineState, cache, key_a, key_b,
+                                a_T_a_b, config: EstimatorConfig,
+                                remove_prior_slot, use_association: bool):
+    """Cached-preconditioner loop-closure solve: absorb the new factor
+    into the persisted WoodburyCache (rank-6 capacitance extension) and
+    solve with it — the TPU analogue of iSAM2 updating its Bayes tree
+    instead of re-factorizing (incremental_estimator.cpp:151-163)."""
+    state, idx = _append_lc_factor(state, key_a, key_b, a_T_a_b, config,
+                                   remove_prior_slot, use_association)
+    pose_mask = jnp.arange(state.traj_poses.shape[0]) < state.n_poses
+    graph = _graph_view(state)
+    cache = sv.extend_cache(graph, state.traj_poses, pose_mask, cache,
+                            idx, config.solver)
+    result = sv.solve_cached(graph, state.traj_poses, pose_mask, cache,
+                             config.solver)
+    state = state._replace(traj_poses=result.poses,
+                           last_error=result.error_final)
+    info = StepInfo(key=key_b, icp_valid=jnp.bool_(True),
+                    icp_inliers=jnp.int32(0),
+                    solve_error=result.error_final)
+    return state, cache, info
 
 
 @functools.partial(jax.jit,
@@ -671,6 +709,26 @@ def online_loop_closure(state: OnlineState, key_a: jax.Array,
                                 remove_prior_slot, use_association)
 
 
+@functools.partial(jax.jit, static_argnames=('config', 'use_association'),
+                   donate_argnums=(0, 1))
+def online_loop_closure_cached(state: OnlineState, cache, key_a: jax.Array,
+                               key_b: jax.Array, w_T_a_b: jax.Array,
+                               config: EstimatorConfig,
+                               remove_prior_slot: jax.Array = jnp.int32(-1),
+                               use_association: bool = False):
+    """:func:`online_loop_closure` with a persisted solver cache
+    (solver.WoodburyCache): the new factor extends the cached capacitance
+    factorization instead of triggering a preconditioner rebuild.
+    Returns (state, cache, info)."""
+    T_w_a = state.traj_poses[key_a]
+    T_w_b = state.traj_poses[key_b]
+    a_T_a_b = se3.compose(se3.inverse(T_w_a),
+                          se3.compose(se3.normalize(w_T_a_b), T_w_b))
+    return _append_lc_and_solve_cached(state, cache, key_a, key_b, a_T_a_b,
+                                       config, remove_prior_slot,
+                                       use_association)
+
+
 def _gather_submap(state: OnlineState, archive: ScanArchive,
                    center_key: jax.Array, frame_T_inv: jax.Array,
                    radius: int):
@@ -707,13 +765,15 @@ def _gather_submap(state: OnlineState, archive: ScanArchive,
 
 @functools.partial(jax.jit,
                    static_argnames=('config', 'odometry_free',
-                                    'with_archive', 'return_scans'),
+                                    'with_archive', 'return_scans',
+                                    'pr_config'),
                    donate_argnums=(0, 1))
 def online_chunk(state: OnlineState, archive, points: jax.Array,
                  n_valid: jax.Array, odom_pose7s: jax.Array,
                  track_ids: jax.Array, config: EstimatorConfig,
                  odometry_free: bool = False, with_archive: bool = True,
-                 return_scans: bool = False):
+                 return_scans: bool = False, pr_db=None, pr_keys=None,
+                 pr_n=None, pr_config=None):
     """Integrate C scans in ONE dispatched program (lax.scan over the
     online step).  points [C,N,3], n_valid [C], odom_pose7s [C,7],
     track_ids [C].
@@ -733,11 +793,33 @@ def online_chunk(state: OnlineState, archive, points: jax.Array,
     points/mask and the pose solved AT THAT STEP — device-resident
     outputs for a chunked DeviceMapper accumulate (the ring only
     retains the last nscan_in_sub_map scans, so a post-hoc read cannot
-    recover every chunk scan).  Returns
+    recover every chunk scan).
+
+    ``pr_db/pr_keys/pr_n`` + static ``pr_config`` (a
+    PlaceRecognitionConfig) run the scan-context detector cadence
+    ON DEVICE as additional scanned stages: every scan's descriptor is
+    added to the database, every ``detect_every``-th key is queried
+    against it, and the per-scan best-match rows accumulate like
+    ``return_scans`` — ONE [C,3] readback per chunk instead of a
+    dispatch per scan, so chunked transport amortization and automatic
+    loop closing compose (the reference runs detection in a separate
+    segmatch node, incremental_estimator.cpp:63-149; candidate
+    acceptance/verification/injection stays host-side at chunk
+    boundaries, see OnlineRunner.flush_detections).
+
+    Returns
     (state, archive, infos[, (scan_pts [C,N,3], scan_msk [C,N],
-    pose7s [C,7])]).
+    pose7s [C,7])][, (pr_db, pr_keys, pr_n, pr_rows [C,3])]).
     """
     inputs = (points, n_valid, odom_pose7s, track_ids)
+    use_pr = pr_config is not None
+    if use_pr:
+        from laser_slam_tpu.ops import scan_context as sc
+    else:
+        # Zero-size placeholders keep one carry structure for both modes.
+        pr_db = jnp.zeros((1, 1, 1), jnp.float32)
+        pr_keys = jnp.full((1,), -1, jnp.int32)
+        pr_n = jnp.int32(0)
 
     def step(st, inp):
         pts, nv, od, tid = inp
@@ -749,42 +831,62 @@ def online_chunk(state: OnlineState, archive, points: jax.Array,
                           st.traj_poses[info.key]))
         return st, out
 
-    if with_archive:
-        def body(carry, inp):
-            st, ar = carry
-            st, out = step(st, inp)
-            info = out[0] if return_scans else out
-            tid = inp[3]
+    def body(carry, inp):
+        st, ar, db, dbk, dbn = carry
+        st, out = step(st, inp)
+        info = out[0] if return_scans else out
+        tid = inp[3]
+        if with_archive:
             ar = archive_append(ar, st.ring_points[tid, -1],
                                 st.ring_mask[tid, -1],
                                 st.ring_normals[tid, -1], info.key, tid)
-            return (st, ar), out
+        if use_pr:
+            c = pr_config
+            scan_pts = st.ring_points[tid, -1]
+            scan_msk = st.ring_mask[tid, -1]
+            desc, dist, shift = sc.descriptor_and_query(
+                db, dbk, scan_pts, scan_msk,
+                info.key - jnp.int32(c.exclude_recent_keys),
+                n_rings=c.n_rings, n_sectors=c.n_sectors,
+                max_radius_m=c.max_radius_m, z_offset_m=c.z_offset_m)
+            i = jnp.argmin(dist)
+            yaw = sc.yaw_from_shift(shift[i], c.n_sectors)
+            row = jnp.stack([dbk[i].astype(jnp.float32), dist[i], yaw])
+            do_q = ((info.key % max(c.detect_every, 1) == 0) & (dbn > 0))
+            # Sentinel row (key -1) = "not queried"; to_detection rejects
+            # it.  Cooldown filtering happens host-side at flush time
+            # (injection order isn't known until then).
+            row = jnp.where(do_q, row,
+                            jnp.array([-1.0, jnp.inf, 0.0], jnp.float32))
+            db = db.at[dbn].set(desc)
+            dbk = dbk.at[dbn].set(info.key)
+            dbn = dbn + 1
+            out = (out, row)
+        return (st, ar, db, dbk, dbn), out
 
-        (state, archive), outs = jax.lax.scan(body, (state, archive),
-                                              inputs)
-    else:
-        state, outs = jax.lax.scan(step, state, inputs)
+    (state, archive, pr_db, pr_keys, pr_n), outs = jax.lax.scan(
+        body, (state, archive, pr_db, pr_keys, pr_n), inputs)
+    if use_pr:
+        outs, pr_rows = outs
+    ret = [state, archive]
     if return_scans:
         infos, scans = outs
-        return state, archive, infos, scans
-    return state, archive, outs
+        ret += [infos, scans]
+    else:
+        ret.append(outs)
+    if use_pr:
+        ret.append((pr_db, pr_keys, pr_n, pr_rows))
+    return tuple(ret)
 
 
-@functools.partial(jax.jit, static_argnames=('config', 'use_association'),
-                   donate_argnums=(0,))
-def online_loop_closure_refined(state: OnlineState, archive: ScanArchive,
-                                key_a: jax.Array, key_b: jax.Array,
-                                w_T_a_b: jax.Array,
-                                config: EstimatorConfig,
-                                remove_prior_slot: jax.Array = jnp.int32(-1),
-                                use_association: bool = False
-                                ) -> Tuple[OnlineState, StepInfo]:
-    """Loop closure with device-side submap-ICP refinement
+def _refine_lc_meas(state: OnlineState, archive: ScanArchive,
+                    key_a, key_b, w_T_a_b, config: EstimatorConfig):
+    """Device-side submap-ICP refinement of a loop-closure alignment
     (incremental_estimator.cpp:90-115): radius submaps around both keys
     are built from the scan archive, registered point-to-plane with the
-    place-recognition alignment as the initial guess, and the REFINED
-    transform becomes the factor.  A failed ICP falls back to the guess
-    (the reference's ConvergenceError path, laser_track.cpp:495-502)."""
+    place-recognition alignment as the initial guess.  A failed ICP falls
+    back to the guess (the reference's ConvergenceError path,
+    laser_track.cpp:495-502).  Returns (meas, icp_result)."""
     R = config.loop_closures_sub_maps_radius
     T_w_a = state.traj_poses[key_a]
     T_w_b = state.traj_poses[key_b]
@@ -797,11 +899,48 @@ def online_loop_closure_refined(state: OnlineState, archive: ScanArchive,
     reading = pc.compact(submap_b, config.laser_track.icp.reading_capacity)
     icp_res = icp_mod.icp_point_to_plane(reading, submap_a, normals_a,
                                          guess, config.laser_track.icp)
-    meas = jnp.where(icp_res.valid, icp_res.T, guess)
+    return jnp.where(icp_res.valid, icp_res.T, guess), icp_res
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'use_association'),
+                   donate_argnums=(0,))
+def online_loop_closure_refined(state: OnlineState, archive: ScanArchive,
+                                key_a: jax.Array, key_b: jax.Array,
+                                w_T_a_b: jax.Array,
+                                config: EstimatorConfig,
+                                remove_prior_slot: jax.Array = jnp.int32(-1),
+                                use_association: bool = False
+                                ) -> Tuple[OnlineState, StepInfo]:
+    """Loop closure with device-side submap-ICP refinement of the
+    alignment (see :func:`_refine_lc_meas`)."""
+    meas, icp_res = _refine_lc_meas(state, archive, key_a, key_b, w_T_a_b,
+                                    config)
     state, info = _append_lc_and_solve(state, key_a, key_b, meas, config,
                                        remove_prior_slot, use_association)
     return state, info._replace(icp_valid=icp_res.valid,
                                 icp_inliers=icp_res.num_inliers)
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'use_association'),
+                   donate_argnums=(0, 2))
+def online_loop_closure_refined_cached(state: OnlineState,
+                                       archive: ScanArchive, cache,
+                                       key_a: jax.Array, key_b: jax.Array,
+                                       w_T_a_b: jax.Array,
+                                       config: EstimatorConfig,
+                                       remove_prior_slot: jax.Array
+                                       = jnp.int32(-1),
+                                       use_association: bool = False):
+    """:func:`online_loop_closure_refined` with a persisted solver cache
+    (see :func:`online_loop_closure_cached`).  Returns
+    (state, cache, info)."""
+    meas, icp_res = _refine_lc_meas(state, archive, key_a, key_b, w_T_a_b,
+                                    config)
+    state, cache, info = _append_lc_and_solve_cached(
+        state, cache, key_a, key_b, meas, config, remove_prior_slot,
+        use_association)
+    return state, cache, info._replace(icp_valid=icp_res.valid,
+                                       icp_inliers=icp_res.num_inliers)
 
 
 @functools.partial(jax.jit, static_argnames=('config',))
@@ -912,6 +1051,12 @@ class OnlineRunner:
         # Packed (uint16 range-image) ingest — see enable_packed_ingest.
         self._beam_table = None
         self._range_unit_m = None
+        # Persisted loop-closure solver cache (solver.WoodburyCache):
+        # built on the first full-graph solve, extended rank-6 per new
+        # closure, rebuilt after cache_rebuild_after appended factors or
+        # any capacity growth.
+        self._solver_cache = None
+        self._cache_rel_count = 0
 
     def enable_packed_ingest(self, elev_deg, n_azimuth: int,
                              range_unit_m: float = None) -> None:
@@ -972,6 +1117,9 @@ class OnlineRunner:
             if self.archive is not None and 'pose_capacity' in kw:
                 self.archive = grow_archive(self.archive,
                                             kw['pose_capacity'])
+            # Rebucketed shapes invalidate the solver cache (its chain
+            # factorization is sized to the old pose capacity).
+            self._solver_cache = None
 
     def marginal_covariances(self, keys) -> np.ndarray:
         """Per-key 6x6 marginal covariances of the current device graph
@@ -1061,16 +1209,31 @@ class OnlineRunner:
         R = self.state.prior_meas.shape[0]
         scan_cap, n_tracks = self.scan_cap, self.n_tracks
         odometry_free = not self.use_odometry
+        beam_table = self._beam_table
+        range_unit_m = self._range_unit_m
 
         def work():
             try:
                 dummy = init_state(cfg, P2, F2, prior_capacity=R,
                                    n_tracks=n_tracks)
-                pts = jnp.full((scan_cap, 3), pc.SENTINEL, jnp.float32)
-                s2, _ = online_step(dummy, pts, jnp.int32(0),
-                                    jnp.asarray(se3.identity()), cfg,
-                                    jnp.int32(0),
-                                    odometry_free=odometry_free)
+                if beam_table is not None:
+                    # Packed ingest: the hot path is online_step_ranges
+                    # on the [B,A] uint16 image — precompile THAT shape
+                    # (the xyz step would be a cache miss at growth time).
+                    B = beam_table.sin_elev.shape[0]
+                    A = beam_table.cos_az.shape[0]
+                    img = jnp.zeros((B, A), jnp.uint16)
+                    s2, _ = online_step_ranges(
+                        dummy, img, beam_table,
+                        jnp.asarray(se3.identity()), cfg, jnp.int32(0),
+                        odometry_free=odometry_free,
+                        range_unit_m=range_unit_m)
+                else:
+                    pts = jnp.full((scan_cap, 3), pc.SENTINEL, jnp.float32)
+                    s2, _ = online_step(dummy, pts, jnp.int32(0),
+                                        jnp.asarray(se3.identity()), cfg,
+                                        jnp.int32(0),
+                                        odometry_free=odometry_free)
                 jax.block_until_ready(s2.traj_poses)
             except Exception:
                 pass  # best-effort: growth falls back to a foreground compile
@@ -1135,18 +1298,26 @@ class OnlineRunner:
                 return 0
             C = len(accepted)
             chunk_size = max(int(chunk_size), 1)
-            n_chunks = C // chunk_size if chunk_size > 1 else 0
-            if self.detector is not None:
-                # Place recognition queries/adds per scan (the detector's
-                # temporal-exclusion and injection points are per-key);
-                # chunked dispatch would skip them, so fall back.
-                n_chunks = 0
-            for ci in range(n_chunks):
-                self._dispatch_chunk(
-                    accepted[ci * chunk_size:(ci + 1) * chunk_size],
-                    track_id)
-            for t, p, o in accepted[n_chunks * chunk_size:]:
-                self._integrate_one(t, p, o, track_id)
+            # Chunks must be payload-homogeneous (a packed chunk uploads
+            # one uint16 [C,B,A] stack, an xyz chunk one f32 [C,N,3]
+            # stack), so a mixed stream is split into same-kind runs and
+            # chunked within each run.
+            runs = []
+            for frame in accepted:
+                kind = self._is_packed_scan(frame[1])
+                if runs and runs[-1][0] == kind:
+                    runs[-1][1].append(frame)
+                else:
+                    runs.append((kind, [frame]))
+            for _, run in runs:
+                n_chunks = (len(run) // chunk_size if chunk_size > 1
+                            else 0)
+                for ci in range(n_chunks):
+                    self._dispatch_chunk(
+                        run[ci * chunk_size:(ci + 1) * chunk_size],
+                        track_id)
+                for t, p, o in run[n_chunks * chunk_size:]:
+                    self._integrate_one(t, p, o, track_id)
             return C
 
     def _dispatch_chunk(self, chunk, track_id: int) -> None:
@@ -1182,12 +1353,29 @@ class OnlineRunner:
         with_archive = archive is not None
         if not with_archive:
             archive = init_archive(1, 1, self.n_tracks)
+        pr_kw = {}
+        if self.detector is not None:
+            # Detection cadence runs ON DEVICE inside the chunk (adds +
+            # every-detect_every queries as scanned stages); candidate
+            # rows come back as one [C,3] array and injection happens at
+            # the chunk boundary via flush_detections.
+            self.detector.ensure_room(C)
+            pr_kw = dict(pr_db=self.detector.db,
+                         pr_keys=self.detector.db_keys,
+                         pr_n=jnp.int32(self.detector.n),
+                         pr_config=self.detector.config)
         out = online_chunk(
             self.state, archive, dev_pts, dev_nv,
             jnp.asarray(odos), jnp.asarray(tids), self.config,
             odometry_free=not self.use_odometry,
             with_archive=with_archive,
-            return_scans=self.mapper is not None)
+            return_scans=self.mapper is not None, **pr_kw)
+        out = list(out)
+        if self.detector is not None:
+            db, dbk, dbn, pr_rows = out.pop()
+            self.detector.db = db
+            self.detector.db_keys = dbk
+            self.detector.n += C
         if self.mapper is not None:
             self.state, archive, infos, scans = out
             self.mapper.accumulate_chunk(*scans, track_id=track_id)
@@ -1195,8 +1383,17 @@ class OnlineRunner:
             self.state, archive, infos = out
         if with_archive:
             self.archive = archive
+        base_key = len(self.key_info)
         for t, _, _ in chunk:
             self.key_info.append((track_id, t))
+        if self.detector is not None:
+            self._pr_pending.append(
+                (list(range(base_key, base_key + C)), pr_rows))
+            de = max(self.detector.config.detect_every, 1)
+            n_queries = sum(1 for ks, _ in self._pr_pending
+                            for k in ks if k % de == 0)
+            if n_queries >= max(self.detector.config.fetch_every, 1):
+                self.flush_detections()
         if first_scan_of_track:
             if track_id > 0:
                 self._prior_slot_of_track[track_id] = self._n_priors_seen
@@ -1289,7 +1486,7 @@ class OnlineRunner:
             return
         res = self.detector.query_async(pts, msk, key, add=True)
         if res is not None:
-            self._pr_pending.append((key, res))
+            self._pr_pending.append(([key], res[None]))
         if len(self._pr_pending) >= max(pr_cfg.fetch_every, 1):
             self.flush_detections()
 
@@ -1298,12 +1495,15 @@ class OnlineRunner:
         device->host transfer and inject the closures that pass the
         threshold + cooldown + ICP-verification gates.  Called
         automatically every ``fetch_every`` queries; call manually to
-        drain before reading final results."""
+        drain before reading final results.  Pending entries are
+        (keys, rows [len(keys),3]) batches — a single row from the
+        per-scan path or a whole chunk's accumulated rows."""
         if not self._pr_pending:
             return
         pending, self._pr_pending = self._pr_pending, []
-        rows = np.asarray(jnp.stack([r for _, r in pending]))
-        for (key, _), row in zip(pending, rows):
+        keys = [k for ks, _ in pending for k in ks]
+        rows = np.asarray(jnp.concatenate([r for _, r in pending], axis=0))
+        for key, row in zip(keys, rows):
             det = self.detector.to_detection(row)
             if det is None:
                 continue
@@ -1377,8 +1577,24 @@ class OnlineRunner:
             # laser_slam_worker.cpp:522-540).
             old_lasts = self.state.traj_poses[
                 jnp.maximum(self.state.track_last_key, 0)]
-        if (self.archive is not None
-                and self.config.do_icp_step_on_loop_closures):
+        cache = self._lc_solver_cache()
+        refined = (self.archive is not None
+                   and self.config.do_icp_step_on_loop_closures)
+        if cache is not None and refined:
+            self.state, self._solver_cache, _ = (
+                online_loop_closure_refined_cached(
+                    self.state, self.archive, cache, jnp.int32(key_a),
+                    jnp.int32(key_b),
+                    jnp.asarray(np.asarray(w_T_a_b, np.float32)),
+                    self.config, remove_prior_slot=jnp.int32(remove_slot),
+                    use_association=use_assoc))
+        elif cache is not None:
+            self.state, self._solver_cache, _ = online_loop_closure_cached(
+                self.state, cache, jnp.int32(key_a), jnp.int32(key_b),
+                jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
+                remove_prior_slot=jnp.int32(remove_slot),
+                use_association=use_assoc)
+        elif refined:
             self.state, _ = online_loop_closure_refined(
                 self.state, self.archive, jnp.int32(key_a),
                 jnp.int32(key_b),
@@ -1403,6 +1619,29 @@ class OnlineRunner:
                 self.mapper.rigidify(
                     se3.compose(new_lasts[tid],
                                 se3.inverse(old_lasts[tid])), tid)
+
+    def _lc_solver_cache(self):
+        """The persisted WoodburyCache for loop-closure full solves, or
+        None when the configured preconditioner isn't 'woodbury' (the
+        plain solve path builds its own preconditioner per call).
+
+        Builds lazily on first use and rebuilds once
+        ``cache_rebuild_after`` factors have been appended since the last
+        build (appended chain factors ride identity rows in the cached
+        chain factorization — stale but convergence-safe)."""
+        s = self.config.solver
+        if s.preconditioner != 'woodbury':
+            return None
+        if (self._solver_cache is None
+                or self._n_rel_host - self._cache_rel_count
+                > max(s.cache_rebuild_after, 0)):
+            pose_mask = (jnp.arange(self.state.traj_poses.shape[0])
+                         < self.state.n_poses)
+            self._solver_cache = sv.build_cache(
+                _graph_view(self.state), self.state.traj_poses, pose_mask,
+                s)
+            self._cache_rel_count = self._n_rel_host
+        return self._solver_cache
 
     def _find_group(self, track_id: int) -> list:
         for g in self._linked_groups:

@@ -69,12 +69,23 @@ class ScanContextDetector:
         self.n = 0
 
     def _ensure_capacity(self) -> None:
+        self.ensure_room(1)
+
+    def ensure_room(self, extra: int = 1) -> None:
+        """Grow the table so ``extra`` more adds fit (the chunked online
+        path adds a whole chunk of descriptors in one dispatch)."""
         cap = self.db.shape[0]
-        if self.n < cap:
+        need = self.n + extra
+        new_cap = cap
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap == cap:
             return
-        self.db = jnp.concatenate([self.db, jnp.zeros_like(self.db)])
+        pad = new_cap - cap
+        self.db = jnp.concatenate(
+            [self.db, jnp.zeros((pad,) + self.db.shape[1:], jnp.float32)])
         self.db_keys = jnp.concatenate(
-            [self.db_keys, jnp.full((cap,), -1, jnp.int32)])
+            [self.db_keys, jnp.full((pad,), -1, jnp.int32)])
 
     def _descriptor(self, points, mask) -> jax.Array:
         c = self.config

@@ -34,7 +34,7 @@ class ScanFrame:
     # range words [n_beams, n_azimuth] (0 = no echo; see ops/spherical).
     # Feed to OnlineRunner.process_scan after enable_packed_ingest for
     # 6x less host->device traffic than the xyz payload.
-    ranges_mm: Optional[np.ndarray] = None
+    range_words: Optional[np.ndarray] = None
 
 
 class SyntheticStream:

@@ -198,9 +198,9 @@ def beam_scan_packed(scene: BeamScene, pose7: np.ndarray,
                      rng: Optional[np.random.Generator] = None):
     """:func:`beam_scan` in the sensor's native encoding.
 
-    Returns ``(points [M,3] float32, ranges_mm [n_beams, n_azimuth]
+    Returns ``(points [M,3] float32, range_words [n_beams, n_azimuth]
     uint16)`` from ONE raycast with one noise draw: ``points`` is the
-    exact xyz expansion the xyz ingest path would see, ``ranges_mm`` the
+    exact xyz expansion the xyz ingest path would see, ``range_words`` the
     packed scan (0 = no echo, 2 mm units — ops/spherical.py) whose
     on-device decode reproduces ``points`` up to range quantization.
     Used to bench/test the packed ingest path against the xyz path on
@@ -260,7 +260,7 @@ class BeamStream:
         self.scene = make_beam_scene(seed=seed, world_size_m=world_size_m)
         self.last_hit_rate: float = float('nan')
         # packed=True: frames additionally carry the sensor-native uint16
-        # range image in ScanFrame.ranges_mm (same raycast + noise draw,
+        # range image in ScanFrame.range_words (same raycast + noise draw,
         # so points and ranges describe the identical scan).
         self.packed = packed
 
@@ -320,4 +320,4 @@ class BeamStream:
                 pts, ranges = self.scan_at(gt), None
             yield ScanFrame(time_ns=i * self.period_ns,
                             odom_pose7=odom.astype(np.float32),
-                            points=pts, gt_pose7=gt, ranges_mm=ranges)
+                            points=pts, gt_pose7=gt, range_words=ranges)

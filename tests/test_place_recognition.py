@@ -418,3 +418,63 @@ def test_runner_closes_loop_automatically(rng):
     errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
             for f in frames if f.time_ns in traj]
     assert max(errs) < 0.5, max(errs)
+
+
+def test_chunked_dispatch_with_detector_matches_per_scan(rng):
+    """Attaching the detector must NOT disable chunked dispatch (round-3
+    verdict: online.py forced n_chunks=0, making the chunked-transport
+    win and automatic loop closing mutually exclusive).  The detection
+    cadence now runs on device inside online_chunk; this pins that the
+    chunked path (a) actually chunks, (b) finds the same revisits as the
+    per-scan path, and (c) keeps the trajectory consistent."""
+    def make_runner():
+        est_cfg = EstimatorConfig(
+            laser_track=LaserTrackConfig(
+                nscan_in_sub_map=3,
+                odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+                icp_noise_model=(0.01,) * 6,
+                input_filters=InputFilterConfig(scan_capacity=2048),
+                icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                              reading_sampling_ratio=1.0)),
+            solver=SolverConfig(gn_iterations=2, pcg_iterations=30))
+        pr_cfg = PlaceRecognitionConfig(detect_every=1,
+                                        exclude_recent_keys=8,
+                                        distance_threshold=0.25,
+                                        db_capacity=64)
+        return online.OnlineRunner(est_cfg, pose_capacity=64,
+                                   factor_capacity=256,
+                                   archive_points=512,
+                                   place_recognition=pr_cfg)
+
+    n, laps = 32, 2
+    frames = list(replay.SyntheticStream(
+        n_scans=n, points_per_scan=2048, trajectory='circle',
+        radius_m=10.0, center_m=(8.0, 5.0), laps=laps, noise_m=0.005,
+        odom_noise=0.01, seed=31))
+
+    r_seq = make_runner()
+    for f in frames:
+        r_seq.process_scan(f.time_ns, f.points, f.odom_pose7)
+    traj_seq = r_seq.trajectory()
+
+    r_chunk = make_runner()
+    r_chunk.process_scans(frames, chunk_size=8)
+    traj_chunk = r_chunk.trajectory()
+
+    # The chunk path really ran (device-side adds, one per scan).
+    assert r_chunk.detector.n == n
+    assert r_chunk.detections, 'chunked path found no loop closure'
+    lap = n // laps
+    for key_a, key_b, dist, yaw in r_chunk.detections:
+        assert abs((key_b - key_a) - lap) <= 2, (r_chunk.detections,
+                                                 r_chunk.rejected_detections)
+        assert abs(yaw) < 0.5
+    # Same revisit structure as the per-scan path (injection timing may
+    # shift pairs by a key or two — chunk-boundary flushes vs immediate).
+    assert r_seq.detections
+    assert abs(len(r_chunk.detections) - len(r_seq.detections)) <= 2
+    # Trajectory quality matches the per-scan path.
+    for traj in (traj_seq, traj_chunk):
+        errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
+                for f in frames if f.time_ns in traj]
+        assert max(errs) < 0.5, max(errs)

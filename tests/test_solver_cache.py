@@ -158,3 +158,57 @@ def test_extend_overflow_is_noop(rng):
     res_full = sv.solve(data2, poses, mask, cfg)
     np.testing.assert_allclose(np.asarray(res.poses)[:N, 4:],
                                np.asarray(res_full.poses)[:N, 4:], atol=5e-4)
+
+
+def test_runner_lc_uses_cache_and_matches_plain(rng):
+    """OnlineRunner with the woodbury preconditioner persists a solver
+    cache across loop closures (built once, extended per closure) and
+    reaches the same trajectory as the tridiagonal plain-solve path."""
+    from laser_slam_tpu.config import (EstimatorConfig, IcpConfig,
+                                       InputFilterConfig, LaserTrackConfig)
+    from laser_slam_tpu.pipeline import online, replay
+
+    def run(precond):
+        est_cfg = EstimatorConfig(
+            laser_track=LaserTrackConfig(
+                nscan_in_sub_map=3,
+                odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+                icp_noise_model=(0.01,) * 6,
+                input_filters=InputFilterConfig(scan_capacity=1024),
+                icp=IcpConfig(matcher='brute', reading_capacity=512,
+                              reading_sampling_ratio=1.0)),
+            solver=SolverConfig(gn_iterations=3, pcg_iterations=48,
+                                pcg_tolerance=1e-7,
+                                preconditioner=precond,
+                                offchain_capacity=8))
+        r = online.OnlineRunner(est_cfg, pose_capacity=32,
+                                factor_capacity=128)
+        frames = list(replay.SyntheticStream(
+            n_scans=16, points_per_scan=1024, trajectory='circle',
+            radius_m=10.0, laps=1, noise_m=0.005, odom_noise=0.01,
+            seed=11))
+        for f in frames:
+            r.process_scan(f.time_ns, f.points, f.odom_pose7)
+        # Two manual closures (same-place keys half a lap apart would be
+        # wrong on one lap; use identity-yaw revisit pairs 0<->15 is not
+        # a revisit — instead close consecutive-lap-like short skips with
+        # the known ground truth alignment).
+        import laser_slam_tpu.ops.se3 as se3_ops
+        gt = {f.time_ns: f.gt_pose7 for f in frames}
+        times = [f.time_ns for f in frames]
+        for a, b in ((2, 9), (4, 12)):
+            w_T_a_b = np.asarray(se3_ops.compose(
+                jnp.asarray(gt[times[a]]),
+                se3_ops.inverse(jnp.asarray(gt[times[b]]))))
+            r.add_loop_closure(a, b, w_T_a_b)
+        return r
+
+    r_cached = run('woodbury')
+    assert r_cached._solver_cache is not None
+    assert int(r_cached._solver_cache.n_used) == 2  # both closures absorbed
+
+    r_plain = run('tridiagonal')
+    t_c = r_cached.trajectory()
+    t_p = r_plain.trajectory()
+    for k in t_c:
+        np.testing.assert_allclose(t_c[k][4:], t_p[k][4:], atol=5e-3)

@@ -65,13 +65,31 @@ def test_decode_matches_beam_scan_xyz():
 
 
 def test_encode_decode_range_word_conventions():
-    # 0 = no echo; valid ranges clip to >= 1 word; max word 65535.
-    ranges_m = np.array([[0.0, 0.0005, 1.0, 200.0]])
-    valid = np.array([[False, True, True, True]])
+    # 0 = no echo; valid ranges clip to >= 1 word; ranges beyond the
+    # encodable ceiling (65535 * 2 mm = 131.07 m) become no-echo rather
+    # than aliasing to the ceiling (a fake 131 m point would poison ICP).
+    ranges_m = np.array([[0.0, 0.0005, 1.0, 131.07, 200.0]])
+    valid = np.array([[False, True, True, True, True]])
     words = spherical.encode_ranges(ranges_m, valid)
     assert words.dtype == np.uint16
     assert words[0, 0] == 0 and words[0, 1] == 1
-    assert words[0, 2] == 500 and words[0, 3] == 65535
+    assert words[0, 2] == 500
+    assert words[0, 3] == 65535          # exactly at the ceiling: kept
+    assert words[0, 4] == 0              # beyond the ceiling: no echo
+
+
+def test_encode_quantization_error_bounded_near_ceiling():
+    """Round-trip error stays within half an LSB (1 mm) right up to the
+    encodable maximum — the packed path's accuracy is range-independent."""
+    rng = np.random.default_rng(7)
+    ranges_m = rng.uniform(120.0, 131.07, size=(4, 256))
+    valid = np.ones_like(ranges_m, bool)
+    words = spherical.encode_ranges(ranges_m, valid)
+    kept = words > 0
+    assert kept.mean() > 0.99            # ceiling-adjacent, still encodable
+    decoded = words[kept].astype(np.float64) * spherical.RANGE_UNIT_M
+    err = np.abs(decoded - ranges_m[kept])
+    assert err.max() <= 0.5 * spherical.RANGE_UNIT_M + 1e-9
 
 
 def test_packed_ingest_matches_xyz_ingest():
@@ -83,7 +101,7 @@ def test_packed_ingest_matches_xyz_ingest():
     r_pk.enable_packed_ingest(vs.VLP16_ELEV_DEG_SORTED, A)
     for f in frames:
         assert r_xyz.process_scan(f.time_ns, f.points, f.odom_pose7)
-        assert r_pk.process_scan(f.time_ns, f.ranges_mm, f.odom_pose7)
+        assert r_pk.process_scan(f.time_ns, f.range_words, f.odom_pose7)
     t_xyz = r_xyz.trajectory()
     t_pk = r_pk.trajectory()
     # Identical layouts and rng paths; the only difference is the 2 mm
@@ -107,9 +125,9 @@ def test_packed_chunked_matches_per_scan():
     for r in (r_seq, r_chk):
         r.enable_packed_ingest(vs.VLP16_ELEV_DEG_SORTED, A)
     for f in frames:
-        r_seq.process_scan(f.time_ns, f.ranges_mm, f.odom_pose7)
+        r_seq.process_scan(f.time_ns, f.range_words, f.odom_pose7)
     # 2 chunks of 4 + 1 remainder through the per-scan step.
-    n = r_chk.process_scans([(f.time_ns, f.ranges_mm, f.odom_pose7)
+    n = r_chk.process_scans([(f.time_ns, f.range_words, f.odom_pose7)
                              for f in frames], chunk_size=4)
     assert n == len(frames)
     np.testing.assert_allclose(
@@ -121,4 +139,4 @@ def test_packed_scan_requires_configuration():
     r = online.OnlineRunner(beam_cfg(), pose_capacity=8, factor_capacity=32)
     f = next(iter(packed_stream(n_scans=1)))
     with pytest.raises(ValueError, match='packed'):
-        r.process_scan(f.time_ns, f.ranges_mm, f.odom_pose7)
+        r.process_scan(f.time_ns, f.range_words, f.odom_pose7)

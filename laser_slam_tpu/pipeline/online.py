@@ -1524,6 +1524,24 @@ class OnlineRunner:
         # w_T_a_b = T_w_a . Rz(yaw) . T_w_b^-1.
         pair = np.asarray(self.state.traj_poses[
             jnp.asarray([det.key, key])])
+        # Odometry-consistency gate (see PlaceRecognitionConfig): the
+        # candidate asserts co-location, so the implied correction equals
+        # the keys' estimated separation; same-track corrections beyond
+        # what accumulated odometry drift can explain are aliasing by
+        # construction.  Runs first — it is free and catches the perfect-
+        # aliasing case the ICP gate is blind to (identical geometry
+        # registers with zero residual).
+        k_sig = pr_cfg.odom_consistency_sigmas
+        if k_sig > 0 and self.key_info[det.key][0] == self.key_info[key][0]:
+            sigma_t = max(self.config.laser_track.odometry_noise_model[3:6])
+            allowed = k_sig * sigma_t * float(np.sqrt(abs(key - det.key)))
+            sep_m = float(np.linalg.norm(pair[0][4:] - pair[1][4:]))
+            if sep_m > allowed:
+                # frac=-1 marks a consistency (not ICP) rejection; the
+                # last field carries the offending separation in metres.
+                self.rejected_detections.append(
+                    (det.key, key, det.distance, -1.0, sep_m))
+                return
         half = 0.5 * det.yaw_rad
         rz = np.array([np.cos(half), 0.0, 0.0, np.sin(half),
                        0.0, 0.0, 0.0], np.float32)

@@ -58,6 +58,56 @@ def make_beam_scene(seed: int = 0, world_size_m: float = 60.0,
     return BeamScene(half_size=half, wall_height=8.0, boxes=boxes)
 
 
+def make_corridor_scene(length_m: float = 120.0, width_m: float = 6.0,
+                        wall_height_m: float = 4.0) -> BeamScene:
+    """Featureless corridor: two parallel wall slabs + ground, nothing
+    else within sensor range (the outer box is pushed past max range and
+    flattened to zero height).
+
+    The adversarial geometry for point-to-plane ICP: every surface normal
+    is perpendicular to the corridor axis (+x), so the Gauss-Newton
+    normal equations are RANK-DEFICIENT along x — the matched reference
+    constrains y/z/roll/pitch/yaw but says nothing about forward motion.
+    The expected behavior (reference parity: libpointmatcher converges to
+    whatever the initial guess said along the null direction) is that x
+    follows odometry while the constrained axes stay locked; what must
+    NOT happen is NaN poses or divergence (tests/test_adversarial.py).
+    """
+    slabs = np.zeros((2, 2, 3), np.float64)
+    slabs[0] = [[-20.0, -width_m / 2 - 0.6, 0.0],
+                [length_m, -width_m / 2, wall_height_m]]
+    slabs[1] = [[-20.0, width_m / 2, 0.0],
+                [length_m, width_m / 2 + 0.6, wall_height_m]]
+    return BeamScene(half_size=500.0, wall_height=0.0, boxes=slabs)
+
+
+def make_repeated_rooms_scene(n_rooms: int = 4,
+                              room_spacing_m: float = 30.0,
+                              seed: int = 0) -> BeamScene:
+    """Perceptual-aliasing world: the SAME box cluster tiled every
+    ``room_spacing_m`` along +x.  Scan-context descriptors of different
+    rooms are near-identical (the aliasing failure mode named at
+    pipeline/online.py verify_closure), so a detector without geometric
+    verification will link distinct places tens of meters apart.  Used to
+    measure the ICP gate's rejection rate (tests/test_adversarial.py,
+    experiments/adversarial_validation.py)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-8.0, 8.0, size=(6, 2))
+    half_extents = rng.uniform(0.8, 2.0, size=(6, 2))
+    cluster = np.zeros((6, 2, 3), np.float64)
+    cluster[:, 0, :2] = centers - half_extents
+    cluster[:, 1, :2] = centers + half_extents
+    cluster[:, 0, 2] = 0.0
+    cluster[:, 1, 2] = 3.0
+    rooms = []
+    for k in range(n_rooms):
+        shifted = cluster.copy()
+        shifted[:, :, 0] += k * room_spacing_m
+        rooms.append(shifted)
+    return BeamScene(half_size=500.0, wall_height=0.0,
+                     boxes=np.concatenate(rooms, axis=0))
+
+
 def _raycast(scene: BeamScene, origin: np.ndarray,
              dirs: np.ndarray) -> np.ndarray:
     """Nearest-intersection distances [R] for world-frame rays (inf=miss)."""
@@ -238,7 +288,7 @@ class BeamStream:
                  step_m: float = 1.0, laps: int = 1,
                  sensor_height_m: float = 1.5,
                  center_m: tuple = (0.0, 0.0),
-                 packed: bool = False):
+                 packed: bool = False, scene: Optional[BeamScene] = None):
         self.n_scans = n_scans
         self.trajectory = trajectory
         self.radius_m = radius_m
@@ -257,7 +307,9 @@ class BeamStream:
         else:
             self.elev_deg = np.linspace(2.0, -24.8, n_beams)
         self._rng = np.random.default_rng(seed)
-        self.scene = make_beam_scene(seed=seed, world_size_m=world_size_m)
+        self.scene = (scene if scene is not None
+                      else make_beam_scene(seed=seed,
+                                           world_size_m=world_size_m))
         self.last_hit_rate: float = float('nan')
         # packed=True: frames additionally carry the sensor-native uint16
         # range image in ScanFrame.range_words (same raycast + noise draw,

@@ -137,7 +137,7 @@ def main():
     def f_tri(x, i, c):
         l2 = lin._replace(r_rel=lin.r_rel + 1e-9 * c)
         fac = sv._tridiag_factor(*sv._build_tridiag(l2, damping))
-        return c + fac[1][0, 0, 0]
+        return c + fac[1].ravel()[0]
     if want('tri_build'):
         record('tri_build', marginal_ms(f_tri, poses))
 

@@ -193,6 +193,15 @@ def main():
     if want('matvec'):
         record('matvec', marginal_ms(f_mv, poses))
 
+    # chain-form exact matvec (one application, prebuilt blocks)
+    mv_chain = sv._make_matvec(lin, damping, cfg)
+
+    def f_mvc(x, i, c):
+        y = mv_chain(r_probe + 1e-9 * c)
+        return c + y[0, 0]
+    if want('matvec_chain'):
+        record('matvec_chain', marginal_ms(f_mvc, poses))
+
     # full solves (chained, marginal)
     def f_cold(x, i, c):
         out = sv.solve(data, x + 1e-6 * c, mask, cfg)

@@ -260,6 +260,18 @@ class SolverConfig:
     # 'woodbury' preconditioner; excess off-chain factors fall back to
     # the tridiagonal approximation (more PCG iterations, same answer).
     offchain_capacity: int = 64
+    # Hessian matvec form inside PCG:
+    #   'chain'   exact H = T + U U^T: block-tridiagonal chain part
+    #             (built once per GN step, applied as batched [N,6,6]
+    #             einsums + shifts — no full-length scatter) plus the
+    #             compact off-chain low-rank term.  Exact whenever the
+    #             active off-chain factors fit in ``offchain_capacity``;
+    #             falls back to 'scatter' at runtime otherwise
+    #             (lax.cond).  ~10x cheaper per PCG iteration at 10k
+    #             poses (the scatter-add over the full factor buffer
+    #             costs ~1.8 ms regardless of structure).
+    #   'scatter' the general gather/scatter form (any graph topology).
+    matvec: str = 'chain'
     # Cached-preconditioner staleness bound (OnlineRunner loop-closure
     # solves): once this many factors have been appended since the
     # WoodburyCache was built, the next full solve rebuilds it instead of

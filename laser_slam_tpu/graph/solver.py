@@ -216,6 +216,67 @@ def _hessian_matvec(lin: _LinearizedGraph, x, damping):
     return y
 
 
+def _make_matvec(lin: _LinearizedGraph, damping, config):
+    """Build ``mv(x) = (H + damping I) x`` once per linearization.
+
+    config.matvec 'scatter': the general :func:`_hessian_matvec` — two
+    full-length [F,6] scatter-adds per call, whose TPU cost scales with
+    the factor CAPACITY (~1.8 ms at a 16k buffer) regardless of graph
+    structure.
+
+    config.matvec 'chain' (default): pose graphs are a chain plus a few
+    loop closures, so write H = T + U U^T exactly — T the block-
+    tridiagonal chain part (chain factors + priors + ALL off-chain
+    diagonal contributions moved out + damping + frozen-identity rows),
+    built here with the same one-off scatters, then applied per call as
+    three batched [N,6,6]x[N,6] contractions and two shifts (no
+    scatter); U the compact off-chain blocks (capacity L slots, scatter
+    over L<<F rows).  Exact when every active off-chain factor is
+    selected; otherwise a lax.cond falls back to the scatter form at
+    runtime.  This is what makes PCG iterations cheap enough for the
+    cached incremental solve to beat a CPU sparse factorization
+    (replaces the per-update elimination inside GTSAM's iSAM2,
+    incremental_estimator.cpp:151-163).
+    """
+    if getattr(config, 'matvec', 'chain') != 'chain':
+        return lambda x: _hessian_matvec(lin, x, damping)
+
+    capacity = config.offchain_capacity
+    off = _offchain_mask(lin)
+    L = min(capacity, lin.keys.shape[0])
+    sel = jnp.argsort(~off, stable=True)[:L]
+    valid = off[sel]
+    covered = jnp.sum(off) <= L
+    # T excludes the selected off-chain factors entirely; their diagonal
+    # AND coupling ride in U U^T (exact, not a preconditioner: no boost).
+    w_scale = jnp.ones_like(lin.w_rel).at[sel].set(
+        jnp.where(valid, 0.0, 1.0))
+    B, A = _build_tridiag(lin, damping, w_scale=w_scale, boost=False)
+    Ua, Ub, ka, kb = _offchain_blocks(lin, sel, valid)
+    zero = jnp.zeros((1, 6, 6), B.dtype)
+    # A_up[i] = A[i+1]^T couples pose i to pose i+1.
+    A_up = jnp.concatenate([jnp.swapaxes(A[1:], -1, -2), zero])
+
+    def mv_chain(x):
+        zrow = jnp.zeros((1, 6), x.dtype)
+        x_prev = jnp.concatenate([zrow, x[:-1]])
+        x_next = jnp.concatenate([x[1:], zrow])
+        y = (jnp.einsum('nij,nj->ni', B, x)
+             + jnp.einsum('nij,nj->ni', A, x_prev)
+             + jnp.einsum('nij,nj->ni', A_up, x_next))
+        t = (jnp.einsum('lsc,ls->lc', Ua, x[ka]) +
+             jnp.einsum('lsc,ls->lc', Ub, x[kb]))
+        y = y.at[ka].add(jnp.einsum('lsc,lc->ls', Ua, t))
+        y = y.at[kb].add(jnp.einsum('lsc,lc->ls', Ub, t))
+        return y
+
+    def mv(x):
+        return jax.lax.cond(covered, mv_chain,
+                            lambda v: _hessian_matvec(lin, v, damping), x)
+
+    return mv
+
+
 def _gradient(lin: _LinearizedGraph):
     """g = J^T W r (negated later); zero for frozen poses."""
     wr = lin.r_rel * lin.w_rel[:, None]
@@ -308,13 +369,17 @@ def _chain_mask(lin: _LinearizedGraph):
             (lin.free[lin.keys[:, 0]] > 0) & (lin.free[lin.keys[:, 1]] > 0))
 
 
-def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None):
+def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None,
+                   boost=True):
     """Diagonal blocks B [N,6,6] and sub-diagonal blocks A [N,6,6]
     (A[i] couples pose i to pose i-1) of the Hessian's chain part.
 
     ``w_scale`` [F] optionally rescales each factor's weight in the BUILD
     only (the Woodbury preconditioner zeroes its selected off-chain
-    factors here and re-adds them exactly as a low-rank term)."""
+    factors here and re-adds them exactly as a low-rank term).
+    ``boost=False`` skips the stabilizing diagonal boost — required when
+    the blocks feed an EXACT matvec (:func:`_make_matvec`) rather than a
+    cyclic-reduction factorization."""
     n = lin.free.shape[0]
     w = lin.w_rel if w_scale is None else lin.w_rel * w_scale
     Ha = jnp.einsum('fji,fjk->fik', lin.Ja, lin.Ja * w[:, None, None])
@@ -341,8 +406,9 @@ def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None):
     # chains can go (numerically) indefinite.  A relative diagonal boost
     # keeps every pivot SPD; the preconditioner only needs to be close,
     # PCG absorbs the inexactness.
-    diag_mag = jnp.einsum('nii->n', B) / 6.0
-    B = B + (1e-3 * diag_mag)[:, None, None] * jnp.eye(6, dtype=B.dtype)
+    if boost:
+        diag_mag = jnp.einsum('nii->n', B) / 6.0
+        B = B + (1e-3 * diag_mag)[:, None, None] * jnp.eye(6, dtype=B.dtype)
     return B, A
 
 
@@ -356,7 +422,7 @@ def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None):
 _CR_STOP = 64
 
 
-def _tridiag_factor(B, A, stop: int = _CR_STOP):
+def _tridiag_factor(B, A, stop=None):
     """Cyclic-reduction factorization of an SPD block-tridiagonal system.
 
     B: [N,6,6] diagonal blocks; A: [N,6,6] sub-diagonal (A[0] ignored).
@@ -369,8 +435,11 @@ def _tridiag_factor(B, A, stop: int = _CR_STOP):
     static sizes), so it can be returned from / passed into jitted
     functions — :class:`WoodburyCache` persists it across solves.
     ``root_inv`` is the DENSE inverse of the final <=``stop``-block
-    system (see _CR_STOP).
+    system (see _CR_STOP; ``stop=None`` reads the module constant at call
+    time so experiments can sweep it).
     """
+    if stop is None:
+        stop = _CR_STOP
     n0 = B.shape[0]
     n = 1
     while n < n0:
@@ -493,14 +562,19 @@ def _tridiag_solve(B, A, r):
 # size (replaces iSAM2's incremental Bayes-tree update,
 # incremental_estimator.cpp:151-163, with O(log N) depth batched algebra).
 
+def _offchain_mask(lin: _LinearizedGraph):
+    """Active factors that do NOT land on the block-tridiagonal chain."""
+    touches_free = ((lin.free[lin.keys[:, 0]] > 0) |
+                    (lin.free[lin.keys[:, 1]] > 0))
+    return (lin.w_rel > 0) & ~_chain_mask(lin) & touches_free
+
+
 def _select_offchain(lin: _LinearizedGraph, capacity: int):
     """Indices [L] of up to ``capacity`` active off-chain factors, plus a
     validity mask (False slots are padding)."""
     F = lin.keys.shape[0]
     L = min(capacity, F)
-    touches_free = ((lin.free[lin.keys[:, 0]] > 0) |
-                    (lin.free[lin.keys[:, 1]] > 0))
-    off = (lin.w_rel > 0) & ~_chain_mask(lin) & touches_free
+    off = _offchain_mask(lin)
     order = jnp.argsort(~off, stable=True)[:L]
     return order, off[order]
 
@@ -668,9 +742,14 @@ def _dense_apply(chol, b):
     return jax.scipy.linalg.cho_solve(chol, b.reshape(n6)).reshape(b.shape)
 
 
-def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol, apply_M):
+def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol, apply_M,
+         matvec=None):
     """Preconditioned CG for H x = b over [N,6] states, with a prebuilt
-    preconditioner closure (see :func:`_make_preconditioner`)."""
+    preconditioner closure (see :func:`_make_preconditioner`) and an
+    optional prebuilt matvec (see :func:`_make_matvec`; defaults to the
+    general scatter form)."""
+    if matvec is None:
+        matvec = lambda v: _hessian_matvec(lin, v, damping)  # noqa: E731
 
     def dot(u, v):
         return jnp.sum(u * v)
@@ -688,7 +767,7 @@ def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol, apply_M):
 
     def body(state):
         x, r, p, rz, it = state
-        Hp = _hessian_matvec(lin, p, damping)
+        Hp = matvec(p)
         alpha = rz / jnp.maximum(dot(p, Hp), 1e-30)
         x = x + alpha * p
         r = r - alpha * Hp
@@ -790,8 +869,9 @@ def solve(graph: FactorGraphData, poses, pose_mask,
         def one_step(poses):
             lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
             b = -_gradient(lin)
+            mv = _make_matvec(lin, damping, config)
             delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
-                                 config.pcg_tolerance, apply_M)
+                                 config.pcg_tolerance, apply_M, matvec=mv)
             delta = jnp.nan_to_num(delta) * lin.free[:, None]
             new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
             new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
@@ -973,8 +1053,9 @@ def solve_cached(graph: FactorGraphData, poses, pose_mask,
     def one_step(poses):
         lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
         b = -_gradient(lin)
+        mv = _make_matvec(lin, damping, config)
         delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
-                             config.pcg_tolerance, apply_M)
+                             config.pcg_tolerance, apply_M, matvec=mv)
         delta = jnp.nan_to_num(delta) * lin.free[:, None]
         new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
         new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
@@ -1026,9 +1107,12 @@ def marginal_covariance(graph: FactorGraphData, poses, pose_mask, keys,
     iters = config.pcg_iterations * (
         4 if config.preconditioner == 'jacobi' else 1)
 
+    mv = _make_matvec(lin, damping, config)
+
     def one_probe(key, d):
         e = jnp.zeros((n, 6), poses.dtype).at[key, d].set(1.0)
-        x, _ = _pcg(lin, e, damping, iters, config.pcg_tolerance, apply_M)
+        x, _ = _pcg(lin, e, damping, iters, config.pcg_tolerance, apply_M,
+                    matvec=mv)
         return x[key]
 
     def one_key(key):

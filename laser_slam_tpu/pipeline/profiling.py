@@ -1,0 +1,223 @@
+"""Per-stage device-time breakdown and roofline/MFU accounting.
+
+The reference collects per-topic wall times through its Benchmarker
+(laser_slam/src/benchmarker.cpp:92-152) but never relates them to the
+hardware's limits.  Here every hot stage of the online step is timed as
+its own device program, and the two hot kernels (exact-NN and the MXU
+brute-force NN) get achieved-FLOP/s / achieved-HBM-bandwidth numbers
+against the chip's published peaks — so "fast" is measured against the
+roofline, not just against a CPU baseline (SURVEY §6: the build must
+MEASURE).
+
+Used by bench.py (the ``tpu_step_breakdown_ms`` / ``*_mfu`` extras) and
+ad-hoc from experiments/.
+
+Caveat on small numbers: each stage here is a separate dispatch, which
+costs ~0.3-0.7 ms of host/transport overhead on the axon tunnel before
+any device work happens; stages reporting <1 ms are dispatch-floor
+bound, not device bound (the fused online_step never pays these floors
+— its total is lower than this table's sum).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# TPU v5e (v5 lite) public peaks: 197 bf16 TFLOP/s per chip, 819 GB/s
+# HBM bandwidth (jax-ml.github.io/scaling-book hardware tables).  f32
+# work is reported against the bf16 peak — a conservative (lower-bound)
+# utilization figure.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBPS = 819.0
+
+
+def _median_ms(fn, *args, reps: int = 5) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
+                   ranges_u16: Optional[np.ndarray] = None,
+                   reps: int = 5) -> Dict[str, float]:
+    """Stage-level device ms of one online step on a WARMED runner.
+
+    Stages mirror the fused ``online_step`` (pipeline/online.py:353-536):
+    ingest filters -> store decimate -> normals -> submap assembly ->
+    reading prep -> scan-to-submap ICP -> window solve (the reference's
+    scanCallback path, laser_slam_worker.cpp:96-253 + the 3x
+    isam2_.update, incremental_estimator.cpp:151-163).  When
+    ``ranges_u16`` is given, the packed uint16 -> xyz spherical decode
+    stage (ops/spherical.py) is timed too.
+    """
+    from laser_slam_tpu.ops import cloud as pc
+    from laser_slam_tpu.ops import icp as icp_mod
+    from laser_slam_tpu.ops import range_image as ri
+    from laser_slam_tpu.ops import se3
+    from laser_slam_tpu.pipeline import online
+
+    cfg = runner.config
+    lt = cfg.laser_track
+    f = lt.input_filters
+    state = runner.state
+    out: Dict[str, float] = {}
+
+    scan_cap = f.scan_capacity
+    pts_np = np.full((scan_cap, 3), pc.SENTINEL, np.float32)
+    n = min(len(points), scan_cap)
+    pts_np[:n] = np.asarray(points, np.float32)[:n]
+    dev_pts = jax.device_put(pts_np)
+    n_valid = jnp.int32(n)
+    rng = jax.random.PRNGKey(0)
+    od = jax.device_put(np.asarray(odom_pose7, np.float32))
+
+    # Full fused step (state copied per rep — donation-safe).
+    def full(st):
+        st2, _ = online.online_step(st, dev_pts, n_valid, od, cfg, 0)
+        return st2.traj_poses
+    st_copy = jax.tree.map(jnp.array, state)
+    jax.block_until_ready(online.online_step(st_copy, dev_pts, n_valid,
+                                             od, cfg, 0)[0].traj_poses)
+    ts = []
+    for _ in range(reps):
+        st_copy = jax.tree.map(jnp.array, state)
+        jax.block_until_ready(st_copy)
+        t0 = time.perf_counter()
+        r2 = online.online_step(st_copy, dev_pts, n_valid, od, cfg, 0)
+        jax.block_until_ready(r2[0].traj_poses)
+        ts.append(time.perf_counter() - t0)
+    out['full_step'] = round(float(np.median(ts)) * 1e3, 2)
+
+    if ranges_u16 is not None and runner._beam_table is not None:
+        from laser_slam_tpu.ops import spherical
+        table = runner._beam_table
+        unit = runner._range_unit_m or spherical.RANGE_UNIT_M
+        words = jax.device_put(np.asarray(ranges_u16, np.uint16))
+        dec = jax.jit(lambda w: spherical.decode_and_pack(
+            w, table, unit)[0])
+        out['decode_packed'] = round(_median_ms(dec, words, reps=reps), 2)
+
+    @jax.jit
+    def ingest(points, n_valid, rng):
+        mask = jnp.arange(points.shape[0]) < n_valid
+        scan = pc.Cloud(jnp.where(mask[:, None], points, pc.SENTINEL), mask)
+        if f.chain:
+            scan = pc.apply_filter_chain(scan, f.chain, rng)
+        else:
+            scan = pc.range_filter(scan, f.min_distance_m, f.max_distance_m)
+            if f.random_sampling_ratio < 1.0:
+                scan = pc.random_sampling_filter(
+                    scan, f.random_sampling_ratio, rng)
+        return scan
+    out['ingest_filters'] = round(_median_ms(ingest, dev_pts, n_valid, rng,
+                                             reps=reps), 2)
+    scan_full = ingest(dev_pts, n_valid, rng)
+
+    store_cap = f.store_capacity or f.scan_capacity
+    cd = jax.jit(functools.partial(pc.compact_decimate, capacity=store_cap))
+    out['store_decimate'] = round(_median_ms(cd, scan_full, reps=reps), 2)
+    scan = cd(scan_full)
+
+    nrm_fn = jax.jit(lambda s: ri.compute_normals(s, lt.icp))
+    out['normals'] = round(_median_ms(nrm_fn, scan, reps=reps), 2)
+
+    @jax.jit
+    def assemble(state):
+        track_id = 0
+        prev_traj = state.traj_poses[state.track_last_key[track_id]]
+        T_a_w = se3.inverse(prev_traj)
+        ring_keys = state.ring_keys[track_id]
+        ring_rel = jax.vmap(lambda k: jnp.where(
+            k >= 0,
+            se3.compose(T_a_w, state.traj_poses[jnp.maximum(k, 0)]),
+            se3.identity()))(ring_keys)
+        pts = se3.apply(ring_rel[:, None, :], state.ring_points[track_id])
+        nrm = se3.quat_rotate(ring_rel[:, None, :4],
+                              state.ring_normals[track_id])
+        ring_mask = state.ring_mask[track_id]
+        K, N, _ = state.ring_points[track_id].shape
+        submap = pc.Cloud(
+            jnp.where(ring_mask[..., None], pts,
+                      pc.SENTINEL).reshape(K * N, 3),
+            ring_mask.reshape(K * N))
+        return submap, nrm.reshape(K * N, 3)
+    out['submap_assembly'] = round(_median_ms(assemble, state, reps=reps), 2)
+    submap, submap_normals = assemble(state)
+
+    @jax.jit
+    def reading_prep(scan, rng):
+        reading = scan
+        if lt.icp.reading_sampling_ratio < 1.0:
+            reading = pc.random_sampling_filter(
+                reading, lt.icp.reading_sampling_ratio, rng)
+        return pc.compact_decimate(reading, lt.icp.reading_capacity)
+    out['reading_prep'] = round(_median_ms(reading_prep, scan, rng,
+                                           reps=reps), 2)
+    reading = reading_prep(scan, rng)
+
+    guess = jax.device_put(np.asarray(se3.identity(), np.float32))
+    icp_fn = jax.jit(lambda rd, sm, nm, g: icp_mod.icp_point_to_plane(
+        rd, sm, nm, g, lt.icp).T)
+    out['icp'] = round(_median_ms(icp_fn, reading, submap, submap_normals,
+                                  guess, reps=reps), 2)
+
+    ws = jax.jit(lambda st: online._window_solve(st, st.n_poses - 1,
+                                                 cfg)[0])
+    out['window_solve'] = round(_median_ms(ws, state, reps=reps), 2)
+    return out
+
+
+def nn_kernel_utilization(reading: np.ndarray, reference: np.ndarray,
+                          reps: int = 5) -> Dict[str, float]:
+    """Roofline numbers for the two exact-NN kernels at the headline
+    workload (Q readings vs R reference points).
+
+    brute (ops/neighbors.nn_brute): the q.r term is an MXU matmul —
+    useful-FLOP count 2*3*Q*R per pass (f32-highest precision, reported
+    against the bf16 peak: a conservative MFU).
+
+    pallas (ops/pallas_nn.nn_indices): a VPU kernel; FLOPs ~8*Q*R
+    (3 sub, 3 mul, 2 select per pair).  Its roofline is HBM: each query
+    tile re-reads the full padded [8,R] reference slab from HBM/VMEM, so
+    bytes >= (Q/q_tile) * 32*R; the achieved-GB/s figure says how close
+    the kernel runs to the memory wall.
+    """
+    from laser_slam_tpu.ops import neighbors, pallas_nn
+
+    q = jax.device_put(np.asarray(reading, np.float32))
+    r = jax.device_put(np.asarray(reference, np.float32))
+    Q, R = q.shape[0], r.shape[0]
+    out: Dict[str, float] = {}
+
+    brute = jax.jit(lambda a, b: neighbors.nn_brute(a, b)[0])
+    ms = _median_ms(brute, q, r, reps=reps)
+    flops = 2.0 * 3.0 * Q * R
+    tf = flops / (ms * 1e-3) / 1e12
+    out['tpu_nn_brute_achieved_tflops'] = round(tf, 2)
+    out['tpu_nn_brute_mfu_vs_bf16_peak'] = round(tf / V5E_PEAK_BF16_TFLOPS,
+                                                 4)
+
+    if pallas_nn.on_tpu():
+        pal = jax.jit(lambda a, b: pallas_nn.nn_indices(a, b)[1])
+        ms = _median_ms(pal, q, r, reps=reps)
+        gflops = 8.0 * Q * R / (ms * 1e-3) / 1e9
+        out['tpu_pallas_nn_achieved_gflops'] = round(gflops, 1)
+        q_tiles = max(Q // 256, 1)             # _QB preferred tile
+        gbytes = q_tiles * 32.0 * R / 1e9
+        gbps = gbytes / (ms * 1e-3)
+        out['tpu_pallas_nn_achieved_hbm_gbps'] = round(gbps, 1)
+        out['tpu_pallas_nn_hbm_fraction'] = round(gbps / V5E_PEAK_HBM_GBPS,
+                                                  4)
+    return out

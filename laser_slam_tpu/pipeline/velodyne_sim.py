@@ -373,3 +373,71 @@ class BeamStream:
             yield ScanFrame(time_ns=i * self.period_ns,
                             odom_pose7=odom.astype(np.float32),
                             points=pts, gt_pose7=gt, range_words=ranges)
+
+
+def velodyne_packets_for_pose(scene: BeamScene, pose7: np.ndarray,
+                              n_blocks: int = 180,
+                              elev_deg: Optional[np.ndarray] = None,
+                              max_range_m: float = 80.0,
+                              min_range_m: float = 1.0,
+                              range_noise_m: float = 0.0,
+                              rng: Optional[np.random.Generator] = None,
+                              blocks_per_rev: Optional[int] = None,
+                              az_start_deg: float = 0.0):
+    """Ray-cast ``n_blocks`` firings from ``pose7`` directly into RAW
+    Velodyne data packets (list of 1206-byte blobs, ``n_blocks/12``).
+
+    The inverse of the native decoder (native/io.cpp:102-158): each
+    block carries 32 channels (two 16-laser firing sequences, elevation
+    ``elev_deg[c % 16]`` in FIRING order) at the decoder's interpolated
+    azimuth ``az_block + gap * c/32``, so decode(packets) reproduces the
+    cast rays exactly.  Misses and out-of-range returns encode as word 0
+    (no echo).  Feed through :class:`bag_writer.BagWriter`'s
+    ``write_velodyne_scan`` to synthesize full sensor bags
+    (tests/test_bag_e2e.py; the reference validates against exactly such
+    a recorded bag, velodyne_assembler/launch/test/test.launch:4-21).
+
+    By default the blocks cover one full revolution.  To simulate a
+    MOVING sensor, call once per packet (``n_blocks=12``) with
+    ``blocks_per_rev`` fixing the angular step and ``az_start_deg``
+    advancing 12 blocks per call while ``pose7`` follows the trajectory
+    — the motion skew the assembler's de-skew chain then has to undo
+    (velodyne_assembler_ros.cpp:115-138).
+    """
+    from laser_slam_tpu import native
+    from laser_slam_tpu.pipeline.bag_writer import encode_velodyne_packet
+    if n_blocks % 12:
+        raise ValueError('n_blocks must be a multiple of 12')
+    elev = np.asarray(native.VLP16_ELEV_DEG if elev_deg is None
+                      else elev_deg, np.float64)
+    n_lasers = len(elev)
+    gap = 360.0 / (blocks_per_rev if blocks_per_rev else n_blocks)
+    if gap > 10.0:
+        # The decoder treats block-azimuth gaps above 10 deg as stream
+        # discontinuities and skips interpolation (io.cpp:132), so the
+        # synthesized interpolated rays would not round-trip.  Real
+        # sensors fire >=180 blocks per revolution (gap <= 2 deg).
+        raise ValueError(
+            f'azimuth gap {gap:.1f} deg exceeds the decoder\'s 10 deg '
+            'interpolation threshold; use >=36 blocks per revolution')
+    blocks = az_start_deg + np.arange(n_blocks, dtype=np.float64) * gap
+    ch = np.arange(32, dtype=np.float64)
+    az_deg = blocks[:, None] + gap * ch[None, :] / 32.0        # [NB,32]
+    a = np.deg2rad(az_deg)
+    d = np.deg2rad(elev[(np.arange(32) % n_lasers)])[None, :]  # [1,32]
+    # Decoder geometry: x = r cos(d) sin(a), y = r cos(d) cos(a),
+    # z = r sin(d)  (io.cpp:71-73).
+    dirs_s = np.stack([np.cos(d) * np.sin(a), np.cos(d) * np.cos(a),
+                       np.broadcast_to(np.sin(d), a.shape)], axis=-1)
+    Rm = _quat_to_matrix(np.asarray(pose7[:4], np.float64))
+    dirs_w = dirs_s.reshape(-1, 3) @ Rm.T
+    t = _raycast(scene, np.asarray(pose7[4:], np.float64), dirs_w)
+    t = t.reshape(n_blocks, 32)
+    if range_noise_m > 0:
+        rng = rng or np.random.default_rng(0)
+        t = t + rng.normal(size=t.shape) * range_noise_m
+    dist = np.where(np.isfinite(t) & (t >= min_range_m)
+                    & (t <= max_range_m), t, 0.0)
+    return [encode_velodyne_packet(blocks[12 * p:12 * (p + 1)],
+                                   dist[12 * p:12 * (p + 1)])
+            for p in range(n_blocks // 12)]

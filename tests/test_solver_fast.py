@@ -226,3 +226,47 @@ def test_window_anchor_handles_old_loop_closure(rng):
     d_after = np.linalg.norm(traj_after_lc[29, 4:] - traj_after_lc[2, 4:])
     d_now = np.linalg.norm(traj[29, 4:] - traj[2, 4:])
     assert d_now < d_after + 1.0
+
+
+def test_chain_matvec_matches_scatter(rng):
+    """_make_matvec('chain') is an EXACT reformulation of
+    _hessian_matvec (H = tridiag chain + low-rank off-chain), on a graph
+    with priors, robust loop closures, a gauge-frozen pose, and a
+    disabled (weight-0) factor."""
+    g, gt = build_loopy_chain(rng, n=48, lc_every=12, robust_lc=True)
+    # Disable one factor (weight-masked removal) to exercise w=0 slots.
+    g.remove_relative(5)
+    poses, mask = pad_poses(perturbed(gt, rng), capacity=64)
+    cfg = SolverConfig(preconditioner='woodbury', offchain_capacity=16)
+    lin = sv._linearize(g.to_device(), poses, mask, cfg.cauchy_k)
+    damping = jnp.float32(cfg.damping)
+    mv = sv._make_matvec(lin, damping, cfg)
+    x = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    got = np.asarray(jax.jit(mv)(x))
+    want = np.asarray(jax.jit(
+        lambda v: sv._hessian_matvec(lin, v, damping))(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # Overflow (more off-chain factors than capacity): the lax.cond
+    # falls back to the scatter form — still exact.
+    cfg_small = dataclasses.replace(cfg, offchain_capacity=1)
+    mv_small = sv._make_matvec(lin, damping, cfg_small)
+    got_small = np.asarray(jax.jit(mv_small)(x))
+    np.testing.assert_allclose(got_small, want, rtol=1e-4, atol=1e-5)
+
+
+def test_chain_matvec_solver_equivalence(rng):
+    """solve() reaches the same optimum with either matvec form."""
+    g, gt = build_loopy_chain(rng, n=48, lc_every=16)
+    poses, mask = pad_poses(perturbed(gt, rng), capacity=64)
+    data = g.to_device()
+    base = dict(gn_iterations=3, pcg_iterations=48, pcg_tolerance=1e-7,
+                preconditioner='woodbury', offchain_capacity=16)
+    r_chain = sv.solve(data, poses, mask,
+                       SolverConfig(matvec='chain', **base))
+    r_scatter = sv.solve(data, poses, mask,
+                         SolverConfig(matvec='scatter', **base))
+    np.testing.assert_allclose(np.asarray(r_chain.poses)[:48],
+                               np.asarray(r_scatter.poses)[:48], atol=1e-4)
+    assert (float(r_chain.error_final)
+            <= float(r_scatter.error_final) * 1.2 + 1e-5)

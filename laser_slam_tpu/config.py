@@ -162,6 +162,14 @@ class IcpConfig:
     #   'projective' spherical range-image association (LOAM/KISS-ICP
     #                style) — the fast path for LiDAR scan matching
     matcher: str = 'brute'
+    # 'pallas' matcher only: Morton-sort the reference once and skip
+    # (DMA + compute) reference tiles whose AABB lies beyond the
+    # correspondence radius or the running per-tile best — exact within
+    # max_correspondence_dist_m, which is all ICP ever uses (matches
+    # beyond it are discarded at `d2 <= max_corr2`).  False = the flat
+    # exact-NN kernel (unbounded distances, kd-tree-without-maxDist
+    # parity).  See ops/pallas_nn.py::nn_indices_pruned.
+    pallas_prune: bool = True
     max_correspondence_dist_m: float = 3.0
     range_image_rows: int = 64
     range_image_cols: int = 1024

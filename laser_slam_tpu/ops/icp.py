@@ -167,11 +167,31 @@ def icp_point_to_plane(
         # points carry huge distances and can never win, so no mask
         # gather is needed; the winner's payload is one XLA gather.
         interpret = not pallas_nn.on_tpu()
+        if config.pallas_prune:
+            # Morton-sorted AABB-pruned variant: exact within the
+            # correspondence radius (all ICP uses), tiles beyond it or
+            # beyond the running best skipped.  Sort once per call —
+            # the reference is fixed across iterations.
+            pref = pallas_nn.build_pruned_ref(reference.points)
+            s_ext_pts = jnp.concatenate(
+                [reference.points[pref.perm],
+                 jnp.zeros((1, 3), reference.points.dtype)], axis=0)
+            s_ext_normals = jnp.concatenate(
+                [ref_normals[pref.perm],
+                 jnp.zeros((1, 3), ref_normals.dtype)], axis=0)
 
-        def match_payload(p_world, msk):
-            d2, idx = pallas_nn.nn_indices(p_world, reference.points,
-                                           interpret=interpret)
-            return ref_ext_pts[idx], ref_ext_normals[idx], d2, msk
+            def match_payload(p_world, msk):
+                d2, idx = pallas_nn.nn_indices_pruned(
+                    p_world, pref,
+                    cutoff=config.max_correspondence_dist_m,
+                    interpret=interpret)
+                idx = jnp.clip(idx, 0, reference.capacity)
+                return s_ext_pts[idx], s_ext_normals[idx], d2, msk
+        else:
+            def match_payload(p_world, msk):
+                d2, idx = pallas_nn.nn_indices(p_world, reference.points,
+                                               interpret=interpret)
+                return ref_ext_pts[idx], ref_ext_normals[idx], d2, msk
     else:
         def match_payload(p_world, msk):
             idx, d2 = nb.nn_brute(p_world, reference.points)

@@ -1638,6 +1638,58 @@ class OnlineRunner:
                     se3.compose(new_lasts[tid],
                                 se3.inverse(old_lasts[tid])), tid)
 
+    def warmup_closure_path(self, use_association: bool = False) -> None:
+        """Pre-compile the loop-closure injection programs so the FIRST
+        real closure of a live stream doesn't stall it for the jit
+        compile (several seconds over a remote-compile link).
+
+        Compiles exactly the variants :meth:`add_loop_closure` will
+        dispatch for the current config — the ICP verification gate
+        (when a detector with ``verify_with_icp`` is attached), and the
+        refined / cached / plain full-graph solve — and builds the
+        persistent solver cache when ``preconditioner='woodbury'``.
+        The closure programs donate their state buffers, so the warmup
+        runs them on device-side copies and discards the results; the
+        runner's state is untouched.  Call after a few scans have been
+        processed (>= 2 keys must exist) and the capacities have
+        settled — a capacity growth recompiles these programs anyway.
+        """
+        if len(self.key_info) < 2:
+            raise ValueError('warmup_closure_path needs >= 2 keys '
+                             '(process some scans first)')
+        ka, kb = jnp.int32(0), jnp.int32(1)
+        ident = jnp.asarray(se3.identity())
+        slot = jnp.int32(-1)
+        sink = []
+        if (self.archive is not None and self.detector is not None
+                and self.detector.config.verify_with_icp):
+            sink.append(verify_closure(self.state, self.archive, ka, kb,
+                                       ident, self.config))
+        cache = self._lc_solver_cache()
+        refined = (self.archive is not None
+                   and self.config.do_icp_step_on_loop_closures)
+        st = jax.tree_util.tree_map(jnp.copy, self.state)
+        if cache is not None and refined:
+            c2 = jax.tree_util.tree_map(jnp.copy, cache)
+            s2, c2, _ = online_loop_closure_refined_cached(
+                st, self.archive, c2, ka, kb, ident, self.config,
+                remove_prior_slot=slot, use_association=use_association)
+        elif cache is not None:
+            c2 = jax.tree_util.tree_map(jnp.copy, cache)
+            s2, c2, _ = online_loop_closure_cached(
+                st, c2, ka, kb, ident, self.config,
+                remove_prior_slot=slot, use_association=use_association)
+        elif refined:
+            s2, _ = online_loop_closure_refined(
+                st, self.archive, ka, kb, ident, self.config,
+                remove_prior_slot=slot, use_association=use_association)
+        else:
+            s2, _ = online_loop_closure(
+                st, ka, kb, ident, self.config,
+                remove_prior_slot=slot, use_association=use_association)
+        sink.append(s2.traj_poses)
+        jax.block_until_ready(sink)
+
     def _lc_solver_cache(self):
         """The persisted WoodburyCache for loop-closure full solves, or
         None when the configured preconditioner isn't 'woodbury' (the

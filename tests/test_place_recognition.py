@@ -478,3 +478,61 @@ def test_chunked_dispatch_with_detector_matches_per_scan(rng):
         errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
                 for f in frames if f.time_ns in traj]
         assert max(errs) < 0.5, max(errs)
+
+
+def test_warmup_closure_path_is_pure(rng):
+    """warmup_closure_path pre-compiles the verification + injection
+    programs (the first live detection would otherwise stall the stream
+    for the compiles) WITHOUT touching the runner: the trajectory is
+    bit-identical to a run that never called it, and closures found
+    afterwards pair the same revisits."""
+
+    def make_runner(precond):
+        est_cfg = EstimatorConfig(
+            laser_track=LaserTrackConfig(
+                nscan_in_sub_map=3,
+                odometry_noise_model=(0.02,) * 3 + (0.05,) * 3,
+                icp_noise_model=(0.01,) * 6,
+                input_filters=InputFilterConfig(scan_capacity=2048),
+                icp=IcpConfig(matcher='brute', reading_capacity=1024,
+                              reading_sampling_ratio=1.0)),
+            solver=SolverConfig(gn_iterations=2, pcg_iterations=30,
+                                preconditioner=precond))
+        pr_cfg = PlaceRecognitionConfig(detect_every=1,
+                                        exclude_recent_keys=8,
+                                        distance_threshold=0.25,
+                                        db_capacity=64)
+        return online.OnlineRunner(est_cfg, pose_capacity=64,
+                                   factor_capacity=256,
+                                   archive_points=512,
+                                   place_recognition=pr_cfg)
+
+    n, laps = 24, 2
+    frames = list(replay.SyntheticStream(
+        n_scans=n, points_per_scan=2048, trajectory='circle',
+        radius_m=10.0, center_m=(8.0, 5.0), laps=laps, noise_m=0.005,
+        odom_noise=0.01, seed=33))
+
+    # Both injection flavours: cached (woodbury) and plain (tridiagonal).
+    for precond in ('woodbury', 'tridiagonal'):
+        r_ref = make_runner(precond)
+        r_warm = make_runner(precond)
+        for f in frames[:6]:
+            r_ref.process_scan(f.time_ns, f.points, f.odom_pose7)
+            r_warm.process_scan(f.time_ns, f.points, f.odom_pose7)
+        r_warm.warmup_closure_path()
+        np.testing.assert_array_equal(np.asarray(r_warm.state.traj_poses),
+                                      np.asarray(r_ref.state.traj_poses))
+        np.testing.assert_array_equal(np.asarray(r_warm.state.rel_weight),
+                                      np.asarray(r_ref.state.rel_weight))
+        assert r_warm._n_rel_host == r_ref._n_rel_host
+        for f in frames[6:]:
+            r_ref.process_scan(f.time_ns, f.points, f.odom_pose7)
+            r_warm.process_scan(f.time_ns, f.points, f.odom_pose7)
+        assert r_warm.detections, (precond, r_warm.rejected_detections)
+        assert [d[:2] for d in r_warm.detections] == \
+            [d[:2] for d in r_ref.detections], precond
+        traj = r_warm.trajectory()
+        errs = [np.linalg.norm(traj[f.time_ns][4:] - f.gt_pose7[4:])
+                for f in frames if f.time_ns in traj]
+        assert max(errs) < 0.5, (precond, max(errs))

@@ -882,14 +882,18 @@ def main():
     # Per-stage device-time breakdown + kernel roofline/MFU at KITTI
     # density (r3 verdict missing #3: show WHERE device time goes and how
     # close the hot kernels run to the v5e peaks, not just CPU ratios).
+    # Chained-marginal timing (profiling._marginal_ms): numbers are
+    # device ms free of the tunnel's per-dispatch floor.
     from laser_slam_tpu.pipeline import profiling
     r_bd = online.OnlineRunner(cfgk, pose_capacity=2048,
                                factor_capacity=8192)
     for f in frames_kitti[:6]:
         r_bd.process_scan(f.time_ns, f.points, f.odom_pose7)
     jax.block_until_ready(r_bd.state.traj_poses)
+    r_bd.enable_packed_ingest(vs.HDL64_ELEV_DEG, azk)  # decode stage only
     extras['tpu_step_breakdown_ms'] = profiling.step_breakdown(
         r_bd, frames_kitti[6].points, frames_kitti[6].odom_pose7,
+        ranges_u16=frames_kitti[6].range_words,
         reps=2 if SMOKE else 5)
     extras.update(profiling.nn_kernel_utilization(
         readings_np[0], ref_np, reps=2 if SMOKE else 5))

@@ -12,11 +12,15 @@ MEASURE).
 Used by bench.py (the ``tpu_step_breakdown_ms`` / ``*_mfu`` extras) and
 ad-hoc from experiments/.
 
-Caveat on small numbers: each stage here is a separate dispatch, which
-costs ~0.3-0.7 ms of host/transport overhead on the axon tunnel before
-any device work happens; stages reporting <1 ms are dispatch-floor
-bound, not device bound (the fused online_step never pays these floors
-— its total is lower than this table's sum).
+Timing methodology — chained marginal, NOT single dispatch: over the
+axon tunnel a single dispatch costs ~10-30 ms of host/transport floor
+before any device work happens, which both drowns sub-ms stages and
+understates kernel FLOP/s by ~10x.  Every number here therefore times
+one jitted program that runs the stage K times inside a sequential
+``lax.fori_loop`` whose inputs are perturbed by the loop index (so XLA
+can neither hoist the loop-invariant body nor CSE iterations), at two
+chain lengths, and reports ``(t[K_hi] - t[K_lo]) / (K_hi - K_lo)`` —
+the dispatch floor and the fixed host time cancel in the difference.
 """
 
 from __future__ import annotations
@@ -36,17 +40,75 @@ import jax.numpy as jnp
 # utilization figure.
 V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_PEAK_HBM_GBPS = 819.0
+# VPU elementwise peak: (8,128) vector lanes x 4 independent ALUs x
+# ~0.94 GHz ~= 3.85 Tops/s f32 (scaling-book TPU chapter).  This is the
+# correct roofline for compare/select kernels that never touch the MXU.
+V5E_PEAK_VPU_F32_TFLOPS = 3.85
 
 
-def _median_ms(fn, *args, reps: int = 5) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3
+def _perturb(tree, i):
+    """Make every iteration's input depend on the fori_loop index so the
+    stage body is neither loop-invariant (hoistable) nor CSE-able across
+    iterations.  Float leaves get a +i*1e-6 nudge (microns on point
+    clouds — semantically inert); if the tree has NO float leaves
+    (e.g. packed uint16 range words), unsigned leaves get +(i&1) (one
+    2 mm range unit) instead."""
+    leaves, treedef = jax.tree.flatten(tree)
+    eps = jnp.float32(1e-6) * (i + 1)
+    any_float = any(jnp.issubdtype(l.dtype, jnp.floating) for l in leaves)
+    out = []
+    for l in leaves:
+        if jnp.issubdtype(l.dtype, jnp.floating):
+            out.append(l + eps.astype(l.dtype))
+        elif not any_float and jnp.issubdtype(l.dtype, jnp.unsignedinteger):
+            out.append(l + (i & 1).astype(l.dtype))
+        else:
+            out.append(l)
+    return jax.tree.unflatten(treedef, out)
+
+
+def _live_sum(tree):
+    """Reduce a stage output to one f32 scalar that depends on every
+    float leaf (falling back to integer leaves for index-only outputs),
+    keeping the whole body live through the loop carry — a constant here
+    would let XLA dead-code-eliminate the stage."""
+    leaves = jax.tree.leaves(tree)
+    floats = [l for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)]
+    if not floats:
+        floats = [l.astype(jnp.float32) for l in leaves
+                  if jnp.issubdtype(l.dtype, jnp.integer)]
+    acc = jnp.float32(0.0)
+    for l in floats:
+        acc = acc + jnp.sum(l, dtype=jnp.float32)
+    return acc
+
+
+def _marginal_ms(stage, args, k_lo: int = 4, k_hi: int = 36,
+                 reps: int = 5) -> float:
+    """Per-call device ms of ``stage(*args)``, dispatch-floor-free.
+
+    Times jit(fori_loop of K index-perturbed stage calls) at K=k_lo and
+    K=k_hi; the marginal (t_hi - t_lo)/(k_hi - k_lo) cancels the fixed
+    per-dispatch host/transport cost (~10-30 ms on the axon tunnel).
+    K is a RUNTIME operand — both chain lengths share one compiled
+    program (remote compiles over the tunnel cost tens of seconds each;
+    fori_loop never unrolls, so a traced bound loses nothing)."""
+    @jax.jit
+    def chain(K, *a):
+        def body(i, acc):
+            out = stage(*_perturb(a, i))
+            return acc + _live_sum(out) * jnp.float32(1e-30)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+    jax.block_until_ready(chain(jnp.int32(k_lo), *args))   # compile
+    t = {}
+    for K in (k_lo, k_hi):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain(jnp.int32(K), *args))
+            ts.append(time.perf_counter() - t0)
+        t[K] = float(np.median(ts))
+    return max(t[k_hi] - t[k_lo], 0.0) / (k_hi - k_lo) * 1e3
 
 
 def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
@@ -83,31 +145,51 @@ def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
     rng = jax.random.PRNGKey(0)
     od = jax.device_put(np.asarray(odom_pose7, np.float32))
 
-    # Full fused step (state copied per rep — donation-safe).
-    def full(st):
-        st2, _ = online.online_step(st, dev_pts, n_valid, od, cfg, 0)
-        return st2.traj_poses
-    st_copy = jax.tree.map(jnp.array, state)
-    jax.block_until_ready(online.online_step(st_copy, dev_pts, n_valid,
-                                             od, cfg, 0)[0].traj_poses)
-    ts = []
-    for _ in range(reps):
-        st_copy = jax.tree.map(jnp.array, state)
-        jax.block_until_ready(st_copy)
-        t0 = time.perf_counter()
-        r2 = online.online_step(st_copy, dev_pts, n_valid, od, cfg, 0)
-        jax.block_until_ready(r2[0].traj_poses)
-        ts.append(time.perf_counter() - t0)
-    out['full_step'] = round(float(np.median(ts)) * 1e3, 2)
+    # Full fused step: a genuinely chained loop — each iteration feeds
+    # its state into the next (real data dependence, nothing hoistable),
+    # exactly what the live per-scan path does.  Chain lengths are kept
+    # small enough that pose capacity isn't approached.
+    k_lo, k_hi = (2, 10) if reps <= 2 else (4, 36)
+
+    # Match the runner's online_step avals EXACTLY (jnp.int32 track_id,
+    # not python 0 — weak-typed ints are a different aval — and the same
+    # odometry_free flag): the inner-jit trace cache then serves the
+    # jaxpr the warm runner already traced, instead of paying a fresh
+    # ~40 s+ retrace of the whole step under this loop.
+    tid = jnp.int32(0)
+    odometry_free = not getattr(runner, 'use_odometry', True)
+
+    @jax.jit
+    def full_chain(K, st):
+        def body(i, st):
+            st2, _ = online.online_step(
+                st, dev_pts + jnp.float32(1e-6) * (i + 1), n_valid, od,
+                cfg, tid, odometry_free=odometry_free)
+            return st2
+        return jax.lax.fori_loop(0, K, body, st).traj_poses
+    jax.block_until_ready(
+        full_chain(jnp.int32(k_lo), jax.tree.map(jnp.array, state)))
+    tt = {}
+    for K in (k_lo, k_hi):
+        ts = []
+        for _ in range(reps):
+            st_copy = jax.tree.map(jnp.array, state)
+            jax.block_until_ready(st_copy)
+            t0 = time.perf_counter()
+            jax.block_until_ready(full_chain(jnp.int32(K), st_copy))
+            ts.append(time.perf_counter() - t0)
+        tt[K] = float(np.median(ts))
+    out['full_step'] = round(
+        max(tt[k_hi] - tt[k_lo], 0.0) / (k_hi - k_lo) * 1e3, 2)
 
     if ranges_u16 is not None and runner._beam_table is not None:
         from laser_slam_tpu.ops import spherical
         table = runner._beam_table
         unit = runner._range_unit_m or spherical.RANGE_UNIT_M
         words = jax.device_put(np.asarray(ranges_u16, np.uint16))
-        dec = jax.jit(lambda w: spherical.decode_and_pack(
-            w, table, unit)[0])
-        out['decode_packed'] = round(_median_ms(dec, words, reps=reps), 2)
+        dec = lambda w: spherical.decode_and_pack(w, table, unit)[0]
+        out['decode_packed'] = round(
+            _marginal_ms(dec, (words,), k_lo, k_hi, reps=reps), 2)
 
     @jax.jit
     def ingest(points, n_valid, rng):
@@ -121,17 +203,19 @@ def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
                 scan = pc.random_sampling_filter(
                     scan, f.random_sampling_ratio, rng)
         return scan
-    out['ingest_filters'] = round(_median_ms(ingest, dev_pts, n_valid, rng,
-                                             reps=reps), 2)
+    out['ingest_filters'] = round(_marginal_ms(
+        ingest, (dev_pts, n_valid, rng), k_lo, k_hi, reps=reps), 2)
     scan_full = ingest(dev_pts, n_valid, rng)
 
     store_cap = f.store_capacity or f.scan_capacity
     cd = jax.jit(functools.partial(pc.compact_decimate, capacity=store_cap))
-    out['store_decimate'] = round(_median_ms(cd, scan_full, reps=reps), 2)
+    out['store_decimate'] = round(_marginal_ms(cd, (scan_full,), k_lo, k_hi,
+                                               reps=reps), 2)
     scan = cd(scan_full)
 
     nrm_fn = jax.jit(lambda s: ri.compute_normals(s, lt.icp))
-    out['normals'] = round(_median_ms(nrm_fn, scan, reps=reps), 2)
+    out['normals'] = round(_marginal_ms(nrm_fn, (scan,), k_lo, k_hi,
+                                        reps=reps), 2)
 
     @jax.jit
     def assemble(state):
@@ -153,7 +237,8 @@ def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
                       pc.SENTINEL).reshape(K * N, 3),
             ring_mask.reshape(K * N))
         return submap, nrm.reshape(K * N, 3)
-    out['submap_assembly'] = round(_median_ms(assemble, state, reps=reps), 2)
+    out['submap_assembly'] = round(_marginal_ms(assemble, (state,), k_lo,
+                                                k_hi, reps=reps), 2)
     submap, submap_normals = assemble(state)
 
     @jax.jit
@@ -163,19 +248,21 @@ def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
             reading = pc.random_sampling_filter(
                 reading, lt.icp.reading_sampling_ratio, rng)
         return pc.compact_decimate(reading, lt.icp.reading_capacity)
-    out['reading_prep'] = round(_median_ms(reading_prep, scan, rng,
-                                           reps=reps), 2)
+    out['reading_prep'] = round(_marginal_ms(reading_prep, (scan, rng),
+                                             k_lo, k_hi, reps=reps), 2)
     reading = reading_prep(scan, rng)
 
     guess = jax.device_put(np.asarray(se3.identity(), np.float32))
     icp_fn = jax.jit(lambda rd, sm, nm, g: icp_mod.icp_point_to_plane(
         rd, sm, nm, g, lt.icp).T)
-    out['icp'] = round(_median_ms(icp_fn, reading, submap, submap_normals,
-                                  guess, reps=reps), 2)
+    out['icp'] = round(_marginal_ms(
+        icp_fn, (reading, submap, submap_normals, guess), k_lo, k_hi,
+        reps=reps), 2)
 
     ws = jax.jit(lambda st: online._window_solve(st, st.n_poses - 1,
                                                  cfg)[0])
-    out['window_solve'] = round(_median_ms(ws, state, reps=reps), 2)
+    out['window_solve'] = round(_marginal_ms(ws, (state,), k_lo, k_hi,
+                                             reps=reps), 2)
     return out
 
 
@@ -201,19 +288,23 @@ def nn_kernel_utilization(reading: np.ndarray, reference: np.ndarray,
     Q, R = q.shape[0], r.shape[0]
     out: Dict[str, float] = {}
 
-    brute = jax.jit(lambda a, b: neighbors.nn_brute(a, b)[0])
-    ms = _median_ms(brute, q, r, reps=reps)
+    k_lo, k_hi = (2, 10) if reps <= 2 else (4, 36)
+    brute = lambda a, b: neighbors.nn_brute(a, b)[1]
+    ms = max(_marginal_ms(brute, (q, r), k_lo, k_hi, reps=reps), 1e-3)
     flops = 2.0 * 3.0 * Q * R
     tf = flops / (ms * 1e-3) / 1e12
     out['tpu_nn_brute_achieved_tflops'] = round(tf, 2)
     out['tpu_nn_brute_mfu_vs_bf16_peak'] = round(tf / V5E_PEAK_BF16_TFLOPS,
                                                  4)
+    out['tpu_nn_brute_pairs_per_sec'] = round(Q * R / (ms * 1e-3), 0)
 
     if pallas_nn.on_tpu():
-        pal = jax.jit(lambda a, b: pallas_nn.nn_indices(a, b)[1])
-        ms = _median_ms(pal, q, r, reps=reps)
+        pal = lambda a, b: pallas_nn.nn_indices(a, b)[0]
+        ms = max(_marginal_ms(pal, (q, r), k_lo, k_hi, reps=reps), 1e-3)
         gflops = 8.0 * Q * R / (ms * 1e-3) / 1e9
         out['tpu_pallas_nn_achieved_gflops'] = round(gflops, 1)
+        out['tpu_pallas_nn_vpu_fraction'] = round(
+            gflops / 1e3 / V5E_PEAK_VPU_F32_TFLOPS, 4)
         q_tiles = max(Q // 256, 1)             # _QB preferred tile
         gbytes = q_tiles * 32.0 * R / 1e9
         gbps = gbytes / (ms * 1e-3)

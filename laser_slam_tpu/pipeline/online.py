@@ -1563,13 +1563,39 @@ class OnlineRunner:
         self.add_loop_closure(det.key, key, w_T_a_b)
 
     def add_loop_closure(self, key_a: int, key_b: int,
-                         w_T_a_b: np.ndarray) -> None:
+                         w_T_a_b: np.ndarray,
+                         verify_with_icp: bool = False,
+                         min_inlier_fraction: float = 0.3,
+                         max_mean_residual_m: float = 0.3) -> bool:
         """Inject a loop closure (keys are global).  Cross-track closures
         that link two previously unlinked groups remove the absorbed
         group's prior and use the first-association noise model
         (estimateAndRemove semantics).  With a scan archive and
         ``do_icp_step_on_loop_closures``, the alignment is refined by
-        device-side submap ICP first (incremental_estimator.cpp:90-115)."""
+        device-side submap ICP first (incremental_estimator.cpp:90-115).
+
+        ``verify_with_icp``: opt-in geometric gate on this MANUAL
+        closure (requires a scan archive).  The reference trusts every
+        caller-supplied closure (processLoopClosure has no rejection
+        path, incremental_estimator.cpp:63-149) and so does the default
+        here; with the gate on, the candidate is scored by
+        :func:`verify_closure` against the given thresholds and dropped
+        (recorded in ``rejected_detections``, returns False) when the
+        submaps do not actually align.  Returns True when injected."""
+        if verify_with_icp:
+            if self.archive is None:
+                raise ValueError('verify_with_icp needs a scan archive '
+                                 '(archive_points > 0)')
+            ok, mean_err, frac, _ = np.asarray(verify_closure(
+                self.state, self.archive, jnp.int32(key_a),
+                jnp.int32(key_b),
+                jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config))
+            if not (ok > 0.5 and frac >= min_inlier_fraction
+                    and mean_err <= max_mean_residual_m):
+                self.rejected_detections.append(
+                    (key_a, key_b, float('nan'), float(frac),
+                     float(mean_err)))
+                return False
         self._ensure_capacity(new_rels=1)
         self._n_rel_host += 1
         track_a = self.key_info[key_a][0]
@@ -1637,6 +1663,7 @@ class OnlineRunner:
                 self.mapper.rigidify(
                     se3.compose(new_lasts[tid],
                                 se3.inverse(old_lasts[tid])), tid)
+        return True
 
     def warmup_closure_path(self, use_association: bool = False) -> None:
         """Pre-compile the loop-closure injection programs so the FIRST

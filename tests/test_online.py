@@ -633,3 +633,63 @@ def test_process_scans_chunk_matches_sequential(rng):
     np.testing.assert_array_equal(np.asarray(r_seq.archive.track_count),
                                   np.asarray(r_chk.archive.track_count))
     assert r_seq.key_info == r_chk.key_info
+
+
+def test_manual_loop_closure_icp_gate(rng):
+    """Opt-in geometric gating of MANUAL closures (the reference trusts
+    every processLoopClosure caller, incremental_estimator.cpp:63-149;
+    verify_with_icp applies the detector path's verify_closure gate to
+    add_loop_closure too): a claim between places whose submaps cannot
+    align is rejected with the graph untouched, a genuine co-location
+    claim passes and is injected.  Occlusion-correct beam scans in the
+    repeated-rooms world (geometry differs 45 m apart) make the
+    rejection deterministic — note a PERFECTLY aliased pair (identical
+    rooms 30 m apart) aligns geometrically and is the odometry-
+    consistency gate's job, not this one's."""
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops import se3
+    from laser_slam_tpu.pipeline import velodyne_sim as vs
+    cfg = make_config()
+    stream = vs.BeamStream(n_scans=20, n_beams=16, n_azimuth=512,
+                           trajectory='line', step_m=3.0,
+                           scene=vs.make_repeated_rooms_scene(
+                               n_rooms=3, room_spacing_m=30.0),
+                           odom_noise=0.005, range_noise_m=0.01, seed=5)
+    frames = list(stream)
+    r = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256,
+                            archive_points=1024)
+    for f in frames:
+        r.process_scan(f.time_ns, f.points, f.odom_pose7)
+    n_rel_before = r._n_rel_host
+    traj = r.trajectory()
+    tp = np.stack([traj[f.time_ns] for f in frames])
+
+    # Bogus: claim key 0 (between-rooms) and key 15 (45 m away) are
+    # co-located (w_T_a_b = identity relative transform).
+    w_T_a_b = np.asarray(se3.compose(
+        jnp.asarray(tp[0]), se3.inverse(jnp.asarray(tp[15]))), np.float32)
+    assert r.add_loop_closure(0, 15, w_T_a_b,
+                              verify_with_icp=True) is False
+    assert r._n_rel_host == n_rel_before
+    assert r.rejected_detections and r.rejected_detections[-1][0] == 0
+
+    # Genuine: neighbouring keys with the correct relative transform.
+    rel = se3.compose(se3.inverse(jnp.asarray(frames[2].gt_pose7)),
+                      jnp.asarray(frames[3].gt_pose7))
+    w_T_a_b = np.asarray(se3.compose(jnp.asarray(tp[2]), se3.compose(
+        rel, se3.inverse(jnp.asarray(tp[3])))), np.float32)
+    assert r.add_loop_closure(2, 3, w_T_a_b, verify_with_icp=True) is True
+    assert r._n_rel_host == n_rel_before + 1
+
+    # Gating without an archive is a usage error; ungated needs none.
+    r2 = online.OnlineRunner(cfg, pose_capacity=64, factor_capacity=256)
+    for f in frames[:4]:
+        r2.process_scan(f.time_ns, f.points, f.odom_pose7)
+    with pytest.raises(ValueError):
+        r2.add_loop_closure(0, 1, np.asarray(se3.identity()),
+                            verify_with_icp=True)
+    assert r2.add_loop_closure(
+        0, 1, np.asarray(se3.compose(
+            jnp.asarray(r2.trajectory()[frames[0].time_ns]),
+            se3.inverse(jnp.asarray(
+                r2.trajectory()[frames[1].time_ns]))))) is True

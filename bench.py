@@ -36,6 +36,12 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_tpu_cache')
 
 def _enable_compile_cache():
     import jax
+    # TPU only: XLA:CPU AOT (de)serialization is broken in this
+    # environment ("+prefer-no-scatter is not supported on the host
+    # machine"; loads can segfault) — never enable the persistent cache
+    # for the CPU backend (smoke pre-flight runs).
+    if jax.devices()[0].platform == 'cpu':
+        return
     jax.config.update('jax_compilation_cache_dir',
                       os.environ['JAX_COMPILATION_CACHE_DIR'])
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
@@ -492,6 +498,22 @@ def main():
     extras['tpu_gn_solve_incremental_error'] = round(
         float(outs2c[0].error_final), 2)
 
+    # Dispatch-floor-free device cost of the SAME extend+solve program
+    # (chained-marginal, pipeline/profiling.py methodology).  The wall
+    # number above pays the axon tunnel's ~10-30 ms/dispatch host floor
+    # — which varies run to run and which a production PCIe-attached
+    # host does not pay — so the device number is the one comparable to
+    # the CPU backsolve anchor (both are pure compute cost).
+    from laser_slam_tpu.pipeline import profiling as prof
+
+    def inc_stage(w, c):
+        ext = sv.extend_cache(data2, w, jmask, c, fidx, scfg_inc)
+        return sv.solve_cached(data2, w, jmask, ext, scfg_inc).poses
+
+    extras['tpu_gn_solve_10k_incremental_device_ms'] = round(
+        prof.marginal_ms(inc_stage, (warm_sets[0], cache), k_lo=2,
+                         k_hi=10, reps=2 if SMOKE else 3), 2)
+
     # Marginal covariance recovery (gtsam::Marginals::marginalCovariance,
     # laser_track.cpp:421-429) at the same 10k graph: 8 keys x 6 probe
     # directions, all batched through one preconditioned-PCG program.
@@ -506,6 +528,23 @@ def main():
     mc_ms = (time.perf_counter() - t0) / 3 * 1e3
     extras['tpu_marginal_cov_10k_8keys_ms'] = round(mc_ms, 2)
     extras['tpu_marginal_cov_10k_ms_per_key'] = round(mc_ms / 8, 2)
+
+    # Cached variant — the production path: the Woodbury cache held for
+    # solve_cached doubles as the covariance-probe preconditioner, so a
+    # covariance query skips the chain factorization + capacitance build
+    # that dominate the one-shot call above.
+    ext_mc = jax.block_until_ready(sv.extend_cache(
+        data2, warm_sets[0], jmask, cache, fidx, scfg_inc))
+    jax.block_until_ready(sv.marginal_covariance_cached(
+        data2, outs2c[0].poses, jmask, mkeys, ext_mc, scfg_inc))
+    t0 = time.perf_counter()
+    covs_c = [sv.marginal_covariance_cached(data2, o.poses, jmask, mkeys,
+                                            ext_mc, scfg_inc)
+              for o in outs2c[:3]]
+    jax.block_until_ready(covs_c)
+    mcc_ms = (time.perf_counter() - t0) / 3 * 1e3
+    extras['tpu_marginal_cov_cached_10k_8keys_ms'] = round(mcc_ms, 2)
+    extras['tpu_marginal_cov_cached_ms_per_key'] = round(mcc_ms / 8, 2)
 
     # End-to-end online SLAM throughput (device-resident fast path):
     # scans/sec through filters + normals + scan-to-submap ICP +
@@ -860,6 +899,18 @@ def main():
     jax.block_until_ready(outs_sc)
     extras['tpu_scan_context_queries_per_sec'] = round(
         SC_Q / (time.perf_counter() - t0), 1)
+    # Device rate, dispatch-floor-free: the wall rate above pays the
+    # tunnel's per-dispatch floor ONCE PER QUERY (it varies 5-12 ms run
+    # to run, which is why r03 recorded 194/s and other runs ~90/s); in
+    # the flagship PR configuration the query runs INSIDE the chunked
+    # device program, where only the device cost below is paid.
+    from laser_slam_tpu.pipeline import profiling as prof_sc
+    sc_stage = lambda s: sc_mod.descriptor_and_query(
+        sc_db, sc_keys, s, sc_mask, jnp.int32(SC_DB))[1]
+    sc_dev_ms = prof_sc.marginal_ms(sc_stage, (sc_scan,), k_lo=4,
+                                    k_hi=36, reps=2 if SMOKE else 3)
+    extras['tpu_scan_context_device_queries_per_sec'] = round(
+        1e3 / max(sc_dev_ms, 1e-3), 1)
 
     # Fleet local-map NN queries (the second half of BASELINE config 5):
     # 256 per-lane world-frame maps (16k points each), exact batched 1-NN

@@ -1100,13 +1100,38 @@ def marginal_covariance(graph: FactorGraphData, poses, pose_mask, keys,
     """
     lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
     damping = jnp.float32(config.damping)
-    n = poses.shape[0]
     apply_M = _make_preconditioner(lin, damping, config)
     # The chain-exact preconditioners converge in a few iterations; only
     # the local block-Jacobi needs the generous budget.
     iters = config.pcg_iterations * (
         4 if config.preconditioner == 'jacobi' else 1)
+    return _marginal_probes(lin, damping, apply_M, iters, config, keys,
+                            poses)
 
+
+@partial(jax.jit, static_argnames=('config',))
+def marginal_covariance_cached(graph: FactorGraphData, poses, pose_mask,
+                               keys, cache: WoodburyCache,
+                               config: SolverConfig) -> jax.Array:
+    """:func:`marginal_covariance` with a PREBUILT Woodbury
+    preconditioner — the incremental fast path.  Skips the chain
+    factorization + capacitance build that dominate the one-shot call
+    (the cache the online runner / an incremental driver already holds
+    for :func:`solve_cached` is exactly what is needed here; staleness
+    only costs PCG iterations, never accuracy)."""
+    lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
+    damping = jnp.float32(config.damping)
+    apply_M = _apply_from_cache(cache)
+    return _marginal_probes(lin, damping, apply_M,
+                            config.pcg_iterations, config, keys, poses)
+
+
+def _marginal_probes(lin: _LinearizedGraph, damping, apply_M, iters,
+                     config: SolverConfig, keys, poses):
+    """Shared probe core: all K keys x 6 canonical directions as ONE
+    vmapped batch, so every PCG iteration is a single batched matvec +
+    preconditioner apply rather than 6K sequential solves."""
+    n = poses.shape[0]
     mv = _make_matvec(lin, damping, config)
 
     def one_probe(key, d):

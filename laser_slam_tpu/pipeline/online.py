@@ -1125,13 +1125,27 @@ class OnlineRunner:
         """Per-key 6x6 marginal covariances of the current device graph
         (PCG probes, solver.marginal_covariance) — online counterpart of
         IncrementalEstimator.marginal_covariances.  keys: sequence of
-        global pose keys -> [K,6,6] numpy."""
+        global pose keys -> [K,6,6] numpy.
+
+        When the runner holds a live Woodbury solver cache (woodbury
+        preconditioner + a past loop-closure solve), the probes reuse it
+        (solver.marginal_covariance_cached) and skip the chain
+        factorization + capacitance build that dominate the one-shot
+        call; staleness only costs PCG iterations, never accuracy."""
         pose_mask = np.arange(self.state.traj_poses.shape[0]) < int(
             self.state.n_poses)
-        covs = sv.marginal_covariance(
-            _graph_view(self.state), self.state.traj_poses,
-            jnp.asarray(pose_mask),
-            jnp.asarray(np.asarray(keys, np.int32)), self.config.solver)
+        if self._solver_cache is not None:
+            covs = sv.marginal_covariance_cached(
+                _graph_view(self.state), self.state.traj_poses,
+                jnp.asarray(pose_mask),
+                jnp.asarray(np.asarray(keys, np.int32)),
+                self._solver_cache, self.config.solver)
+        else:
+            covs = sv.marginal_covariance(
+                _graph_view(self.state), self.state.traj_poses,
+                jnp.asarray(pose_mask),
+                jnp.asarray(np.asarray(keys, np.int32)),
+                self.config.solver)
         return np.asarray(covs)
 
     def refine(self, iterations: int = 1,

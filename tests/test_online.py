@@ -693,3 +693,39 @@ def test_manual_loop_closure_icp_gate(rng):
             jnp.asarray(r2.trajectory()[frames[0].time_ns]),
             se3.inverse(jnp.asarray(
                 r2.trajectory()[frames[1].time_ns]))))) is True
+
+
+def test_online_marginal_covariances_cached_branch(rng):
+    """With a live Woodbury solver cache (woodbury preconditioner + a
+    past loop-closure solve), marginal_covariances routes through
+    solver.marginal_covariance_cached; the preconditioner only shapes
+    PCG convergence, so the result must match the one-shot path."""
+    import dataclasses
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops import se3
+    cfg = make_config()
+    cfg = dataclasses.replace(cfg, solver=SolverConfig(
+        gn_iterations=2, pcg_iterations=96, pcg_tolerance=1e-9,
+        preconditioner='woodbury'))
+    runner = online.OnlineRunner(cfg, pose_capacity=16, factor_capacity=64)
+    frames = list(replay.SyntheticStream(
+        n_scans=8, points_per_scan=2048, trajectory='circle', radius_m=4.0,
+        noise_m=0.005, odom_noise=0.01, seed=82))
+    for f in frames:
+        runner.process_scan(f.time_ns, f.points, f.odom_pose7)
+    traj = runner.trajectory()
+    rel = se3.compose(se3.inverse(jnp.asarray(frames[1].gt_pose7)),
+                      jnp.asarray(frames[6].gt_pose7))
+    w_T_a_b = np.asarray(se3.compose(
+        jnp.asarray(traj[frames[1].time_ns]), se3.compose(
+            rel, se3.inverse(jnp.asarray(traj[frames[6].time_ns])))))
+    runner.add_loop_closure(1, 6, w_T_a_b)
+    assert runner._solver_cache is not None
+    covs_cached = runner.marginal_covariances([0, 3, 6])
+    saved = runner._solver_cache
+    runner._solver_cache = None
+    covs_ref = runner.marginal_covariances([0, 3, 6])
+    runner._solver_cache = saved
+    np.testing.assert_allclose(covs_cached, covs_ref, rtol=1e-3,
+                               atol=1e-6)
+    assert np.trace(covs_cached[0]) < 1e-6       # gauge-pinned first key

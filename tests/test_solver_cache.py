@@ -241,3 +241,39 @@ def test_runner_lc_uses_cache_and_matches_plain(rng):
     t_p = r_plain.trajectory()
     for k in t_c:
         np.testing.assert_allclose(t_c[k][4:], t_p[k][4:], atol=1e-1)
+
+
+def test_marginal_covariance_cached_matches_oneshot(rng):
+    """The cached-preconditioner covariance probes must agree with the
+    self-building path: the preconditioner only shapes PCG convergence,
+    never the fixed point (solver.py:_marginal_probes), so with a
+    generous iteration budget both return the same H^-1 blocks."""
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.02, rng=rng)
+    data = g.to_device()
+    cfg = SolverConfig(gn_iterations=1, pcg_iterations=128,
+                       pcg_tolerance=1e-9, preconditioner='woodbury',
+                       offchain_capacity=8)
+    keys = jnp.asarray([1, N // 2, N - 1], jnp.int32)
+    ref = sv.marginal_covariance(data, poses, mask, keys, cfg)
+    cache = sv.build_cache(data, poses, mask, cfg)
+    got = sv.marginal_covariance_cached(data, poses, mask, keys, cache,
+                                        cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-5)
+    # A STALE cache (built before one more closure lands) still converges
+    # to the same covariances — staleness costs iterations, not accuracy.
+    idx = g.add_relative(2, N - 3, np.asarray(se3.compose(
+        se3.inverse(jnp.asarray(gt[2])), jnp.asarray(gt[N - 3]))), SIG)
+    data2 = g.to_device()
+    ref2 = sv.marginal_covariance(data2, poses, mask, keys, cfg)
+    got2 = sv.marginal_covariance_cached(data2, poses, mask, keys, cache,
+                                         cfg)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-3, atol=1e-5)
+    # And the extended cache is at least as good a preconditioner.
+    ext = sv.extend_cache(data2, poses, mask, cache, jnp.int32(idx), cfg)
+    got3 = sv.marginal_covariance_cached(data2, poses, mask, keys, ext,
+                                         cfg)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref2),
+                               rtol=1e-3, atol=1e-5)

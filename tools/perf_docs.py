@@ -72,6 +72,9 @@ def render_readme(m, src_name='bench'):
         row('End-to-end online SLAM, 16k-pt 64-beam scans', t)
     if g('tpu_e2e_kitti_density_scans_per_sec'):
         t = f"{fmt(g('tpu_e2e_kitti_density_scans_per_sec'), 0)} scans/s per-scan dispatch"
+        if g('tpu_e2e_kitti_scans_per_sec_min'):
+            t += (f" (median of 5 runs, {fmt(g('tpu_e2e_kitti_scans_per_sec_min'), 0)}"
+                  f"-{fmt(g('tpu_e2e_kitti_scans_per_sec_max'), 0)} spread)")
         if g('tpu_e2e_kitti_chunked_scans_per_sec'):
             t = (f"**{fmt(g('tpu_e2e_kitti_chunked_scans_per_sec'), 0)}** scans/s chunked / "
                  + t)
@@ -88,6 +91,16 @@ def render_readme(m, src_name='bench'):
         if vs_p:
             t += f" ({fmt(vs_p, 0)}x CPU e2e)"
         row('KITTI density, packed uint16 ingest (sensor-native 2 B/pt)', t)
+    if g('tpu_e2e_kitti_pr_scans_per_sec'):
+        t = f"**{fmt(g('tpu_e2e_kitti_pr_scans_per_sec'), 0)}** scans/s at KITTI density"
+        if g('tpu_e2e_beam16k_pr_scans_per_sec'):
+            t += f" / {fmt(g('tpu_e2e_beam16k_pr_scans_per_sec'), 0)} at 16k"
+        if g('vs_cpu_e2e_kitti_pr'):
+            t += f" ({fmt(g('vs_cpu_e2e_kitti_pr'), 0)}x CPU e2e)"
+        if g('tpu_e2e_kitti_pr_detections') is not None:
+            t += (f"; {g('tpu_e2e_kitti_pr_detections')} closures"
+                  ' auto-detected, ICP-verified and solved in the timed window')
+        row('Flagship: SLAM + on-device loop-closure detection (chunked)', t)
     if g('tpu_solve_ms_per_scan_window64') is not None:
         t = f"{fmt(g('tpu_solve_ms_per_scan_window64'), 2)} ms marginal device cost"
         if g('tpu_solve_window64_amortized_ms'):
@@ -97,9 +110,20 @@ def render_readme(m, src_name='bench'):
                   f" / {fmt(g('cpu_sparse_backsolve_10k_ms'), 1)} ms cached backsolve)")
         row('Per-scan incremental solve (window=64 slice of 10k-pose graph)', t)
     if g('tpu_gn_solve_10k_cold_ms'):
-        row('10k-pose graph solve, perturbed init (PCG, converged)',
-            f"{fmt(g('tpu_gn_solve_10k_cold_ms'), 0)} ms cold /"
-            f" {fmt(g('tpu_gn_solve_10k_incremental_ms'), 0)} ms incremental")
+        t = (f"{fmt(g('tpu_gn_solve_10k_cold_ms'), 0)} ms cold /"
+             f" {fmt(g('tpu_gn_solve_10k_incremental_ms'), 0)} ms incremental wall")
+        if g('tpu_gn_solve_10k_incremental_device_ms') is not None:
+            t += (f" / **{fmt(g('tpu_gn_solve_10k_incremental_device_ms'), 1)} ms**"
+                  ' incremental device (dispatch-floor-free)')
+        row('10k-pose graph solve, perturbed init (PCG, converged)', t)
+    if g('tpu_marginal_cov_10k_8keys_ms'):
+        t = (f"{fmt(g('tpu_marginal_cov_10k_ms_per_key'), 1)} ms/key cold"
+             f" ({fmt(g('tpu_marginal_cov_10k_8keys_ms'), 0)} ms for 8 keys,"
+             ' all 48 probe directions as one batched PCG)')
+        if g('tpu_marginal_cov_cached_ms_per_key') is not None:
+            t = (f"**{fmt(g('tpu_marginal_cov_cached_ms_per_key'), 1)} ms/key**"
+                 ' with the cached preconditioner / ' + t)
+        row('Marginal covariance queries (10k-pose graph)', t)
     if g('tpu_fleet256_pairs_per_sec'):
         row('Fleet mode: 256 parallel scan-to-scan registrations (4k pts)',
             f"{fmt(g('tpu_fleet256_pairs_per_sec'), 0)} pairs/s")
@@ -107,9 +131,12 @@ def render_readme(m, src_name='bench'):
         row('Fleet mode: 256-lane local-map NN queries (16k-pt maps)',
             f"{fmt(g('tpu_fleet256_map_queries_per_sec') / 1e6, 1)} M queries/s")
     if g('tpu_scan_context_queries_per_sec'):
-        row('Place recognition: scan-context query vs 4096-scan database',
-            f"{fmt(g('tpu_scan_context_queries_per_sec'), 0)} queries/s"
-            ' (descriptor build + all entries x all rotations)')
+        t = (f"{fmt(g('tpu_scan_context_queries_per_sec'), 0)} queries/s"
+             ' dispatched (descriptor build + all entries x all rotations)')
+        if g('tpu_scan_context_device_queries_per_sec'):
+            t = (f"**{fmt(g('tpu_scan_context_device_queries_per_sec'), 0)}**"
+                 ' queries/s on device / ' + t)
+        row('Place recognition: scan-context query vs 4096-scan database', t)
 
     lines = [
         f"Measured on `{g('device', 'TPU v5e')}` (source: `{src_name}`, the",
@@ -133,6 +160,29 @@ def render_readme(m, src_name='bench'):
             f" {fmt(g('cpu_e2e_scans_per_sec'), 2)} scans/s at 16k /"
             f" {fmt(g('cpu_e2e_kitti_density_scans_per_sec'), 2)} at KITTI density.",
         ]
+    bd = g('tpu_step_breakdown_ms')
+    if isinstance(bd, dict) and bd:
+        parts = ', '.join(f'{k} {fmt(float(v), 2)}' for k, v in bd.items())
+        lines += [
+            '',
+            'Per-scan device-time breakdown at KITTI density (chained-marginal',
+            f'ms — dispatch-floor-free, see `pipeline/profiling.py`): {parts}.',
+        ]
+    if g('tpu_nn_brute_mfu_vs_bf16_peak') is not None:
+        roof = (f"Roofline: brute-NN distance matmul"
+                f" {fmt(g('tpu_nn_brute_achieved_tflops'), 1)} TFLOP/s")
+        if g('tpu_nn_brute_fraction_of_shape_ceiling') is not None:
+            roof += (f" ({fmt(g('tpu_nn_brute_fraction_of_shape_ceiling') * 100, 0)}%"
+                     ' of the [Q,3]x[3,R] shape+precision MXU ceiling)')
+        else:
+            roof += (f" ({fmt(g('tpu_nn_brute_mfu_vs_bf16_peak') * 100, 0)}% of the"
+                     ' 197 TF/s bf16 peak)')
+        if g('tpu_pallas_nn_achieved_hbm_gbps') is not None:
+            roof += (f"; pallas exact-NN kernel"
+                     f" {fmt(g('tpu_pallas_nn_achieved_hbm_gbps'), 0)} GB/s HBM"
+                     f" ({fmt((g('tpu_pallas_nn_hbm_fraction') or 0) * 100, 0)}%"
+                     ' of peak)')
+        lines += ['', roof + '.']
     lines += [
         '',
         'Batched throughput and single-pair latency are different claims: the',
@@ -170,9 +220,18 @@ def render_claude(m, src_name='bench'):
                          f" ({fmt(g('tpu_e2e_kitti_packed_chunked_scans_per_sec') or 0, 0)} chunked)"
                          f" at KITTI 131k; {fmt(g('tpu_e2e_beam16k_packed_scans_per_sec') or 0, 0)}"
                          ' at 16k.')
+    if g('tpu_e2e_kitti_pr_scans_per_sec'):
+        lines.append(f"- Flagship SLAM+detection e2e (chunked, woodbury):"
+                     f" {fmt(g('tpu_e2e_kitti_pr_scans_per_sec'), 0)} scans/s"
+                     f" KITTI / {fmt(g('tpu_e2e_beam16k_pr_scans_per_sec') or 0, 0)}"
+                     f" at 16k; {g('tpu_e2e_kitti_pr_detections')} verified"
+                     ' closures in-window.')
     if g('tpu_gn_solve_10k_cold_ms'):
+        dev = (f" ({fmt(g('tpu_gn_solve_10k_incremental_device_ms'), 1)} ms device)"
+               if g('tpu_gn_solve_10k_incremental_device_ms') is not None
+               else '')
         lines.append(f"- Solver: 10k-pose GN {fmt(g('tpu_gn_solve_10k_cold_ms'), 0)} ms cold"
-                     f" / {fmt(g('tpu_gn_solve_10k_incremental_ms'), 0)} ms incremental;"
+                     f" / {fmt(g('tpu_gn_solve_10k_incremental_ms'), 0)} ms incremental{dev};"
                      f" window-64 per-scan marginal {fmt(g('tpu_solve_ms_per_scan_window64'), 2)} ms"
                      f" (CPU sparse: {fmt(g('cpu_sparse_factorize_solve_10k_ms') or 0, 0)} ms factorize"
                      f" / {fmt(g('cpu_sparse_backsolve_10k_ms') or 0, 1)} ms backsolve).")

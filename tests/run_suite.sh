@@ -21,10 +21,11 @@ CHUNKS=(
   "tests/test_icp.py tests/test_pallas_nn.py tests/test_benchmarker.py"
   "tests/test_solver.py tests/test_track_estimator.py"
   "tests/test_solver_fast.py tests/test_velodyne_sim.py tests/test_evaluation.py tests/test_spherical.py"
+  "tests/test_solver_cache.py tests/test_adversarial.py"
   "tests/test_worker.py tests/test_checkpoint.py tests/test_pipeline_tools.py"
   "tests/test_online.py"
   "tests/test_fleet.py tests/test_rosbag.py tests/test_place_recognition.py"
-  "tests/test_parity.py tests/test_kitti.py tests/test_native_io.py"
+  "tests/test_parity.py tests/test_kitti.py tests/test_native_io.py tests/test_bag_e2e.py"
 )
 fail=0
 for chunk in "${CHUNKS[@]}"; do

@@ -9,6 +9,17 @@ R times in ONE process, to show whether the spread is transport noise,
 queue-depth pipelining, or process-state accumulation.
 
 Run:  PYTHONPATH="$PYTHONPATH:/root/repo" python experiments/tunnel_variance.py
+
+PREREQUISITE — live-tunnel probe: this script imports jax at module load,
+and when the TPU tunnel is DOWN the axon sitecustomize can hang every
+python startup indefinitely (CLAUDE.md environment rules).  Check tunnel
+health FIRST with
+
+    timeout 120 python -c "import jax; print(jax.devices())"
+
+and only run this script when that prints a TPU device.  (Running under
+``timeout 600 python experiments/tunnel_variance.py`` is a reasonable
+belt-and-suspenders.)
 """
 import os
 import sys

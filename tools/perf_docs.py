@@ -26,7 +26,20 @@ BEGIN, END = '<!-- BENCH:BEGIN -->', '<!-- BENCH:END -->'
 def load_bench(path):
     with open(path) as f:
         data = json.load(f)
-    return data.get('parsed', data)
+    # Driver wrapper: {"parsed": {...}} — but 'parsed' can exist with
+    # JSON null when the capture was tail-truncated (BENCH_r04.json);
+    # fall back to the raw dict only when the key is genuinely absent,
+    # and fail loudly on a null capture rather than rendering from the
+    # wrapper metadata.
+    if 'parsed' in data:
+        parsed = data['parsed']
+        if parsed is None:
+            raise SystemExit(
+                f'{path}: driver capture has "parsed": null (tail-'
+                'truncated run) — regenerate from a complete bench '
+                'output (e.g. the BENCH_FULL.json bench.py writes).')
+        return parsed
+    return data
 
 
 def fmt(x, nd=1):

@@ -11,7 +11,15 @@ libpointmatcher/libnabo pipeline (C kd-tree + point-to-plane GN on one
 ROS-callback thread; the reference publishes no numbers of its own,
 README.md:1-7).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Output protocol (round-4 verdict missing #1: the driver records only the
+LAST ~2000 chars of stdout and parses the final line; BENCH_r04.json
+came back "parsed": null because the one-line dump outgrew that budget):
+  line 1: the FULL result record (also written to BENCH_FULL.json)
+  line 2 (LAST): a compact prioritized subset guaranteed < 1900 chars —
+          {"metric", "value", "unit", "vs_baseline"} + the keys in
+          _COMPACT_PRIORITY order, skipping any that would overflow.
+Every e2e leg reports the median of >= 3 fresh-runner reps with min/max
+recorded in the full record (spread keys end in _min/_max).
 """
 
 import json
@@ -45,6 +53,75 @@ def _enable_compile_cache():
     jax.config.update('jax_compilation_cache_dir',
                       os.environ['JAX_COMPILATION_CACHE_DIR'])
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+
+# Keys promoted into the compact (driver-parseable) final line, in
+# priority order.  Everything else lives in BENCH_FULL.json + line 1.
+_COMPACT_PRIORITY = [
+    # CPU anchors (BASELINE.json "metric")
+    'cpu_kdtree_pairs_per_sec', 'cpu_sparse_factorize_solve_10k_ms',
+    'cpu_sparse_backsolve_10k_ms', 'cpu_e2e_scans_per_sec',
+    'cpu_e2e_kitti_density_scans_per_sec',
+    # 10k-pose solver legs (round-5 focus)
+    'tpu_gn_solve_10k_cold_ms', 'tpu_gn_solve_10k_warm_nocache_ms',
+    'tpu_gn_solve_10k_cache_build_ms', 'tpu_gn_solve_10k_incremental_ms',
+    'tpu_gn_solve_10k_incremental_device_ms',
+    'tpu_closure_burst_amortized_ms',
+    'tpu_marginal_cov_10k_ms_per_key', 'tpu_marginal_cov_cached_ms_per_key',
+    # transport-independent device e2e (comparable across rounds)
+    'tpu_e2e_beam16k_device_ms_per_scan',
+    'tpu_e2e_beam16k_device_scans_per_sec',
+    'tpu_e2e_kitti_device_ms_per_scan',
+    'tpu_e2e_kitti_device_scans_per_sec',
+    # e2e medians (wall, transport-dependent)
+    'tpu_e2e_beam16k_scans_per_sec', 'tpu_e2e_beam16k_chunked_scans_per_sec',
+    'tpu_e2e_kitti_density_scans_per_sec',
+    'tpu_e2e_kitti_chunked_scans_per_sec',
+    'tpu_e2e_kitti_packed_scans_per_sec',
+    'tpu_e2e_kitti_packed_chunked_scans_per_sec',
+    'tpu_e2e_beam16k_pr_scans_per_sec', 'tpu_e2e_kitti_pr_scans_per_sec',
+    'tpu_e2e_multirobot_scans_per_sec',
+    'tpu_e2e_multirobot_chunked_scans_per_sec',
+    'tpu_multirobot_linked_ate_m',
+    # CPU ratios
+    'vs_cpu_e2e_16k', 'vs_cpu_e2e_kitti', 'vs_cpu_e2e_kitti_packed',
+    'vs_cpu_e2e_16k_pr',
+    # ICP throughput singles
+    'tpu_projective_pairs_per_sec', 'tpu_batch32_pairs_per_sec',
+    'tpu_pallas_pairs_per_sec', 'tpu_brute_pairs_per_sec',
+    # fleet / place recognition
+    'tpu_fleet256_pairs_per_sec', 'tpu_fleet256_map_queries_per_sec',
+    'tpu_scan_context_queries_per_sec',
+    'tpu_scan_context_device_queries_per_sec',
+    # accuracy
+    'tpu_e2e_beam16k_mean_err_m', 'tpu_e2e_kitti_mean_err_m',
+]
+
+_COMPACT_BUDGET = 1900
+
+
+def emit(headline: dict, extras: dict) -> None:
+    """Print the full record, persist it, then END stdout with a compact
+    line guaranteed to fit the driver's tail-capture budget."""
+    full = {**headline, **extras}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'BENCH_FULL.json')
+    try:
+        with open(path, 'w') as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write('\n')
+    except OSError:
+        pass  # read-only checkout: stdout line 1 still carries the record
+    print(json.dumps(full))
+    compact = dict(headline)
+    for k in _COMPACT_PRIORITY:
+        if k not in extras:
+            continue
+        cand = {**compact, k: extras[k]}
+        if len(json.dumps(cand)) > _COMPACT_BUDGET:
+            continue      # skip oversized additions, keep trying smaller
+        compact = cand
+    print(json.dumps(compact))
 
 
 def make_scene(rng, n_world=200_000, extent=80.0):
@@ -514,6 +591,39 @@ def main():
         prof.marginal_ms(inc_stage, (warm_sets[0], cache), k_lo=2,
                          k_hi=10, reps=2 if SMOKE else 3), 2)
 
+    # Closure-burst amortization (round-4 verdict weak #6: on a
+    # closure-dense segment the cached path degenerates toward cold-solve
+    # cadence if rebuilds dominate): ONE cache build + K consecutive
+    # extend+solve_cached closures chained on device, reported per
+    # closure.  Cost-faithful to the runner's policy (build amortized
+    # over a burst, online.py _lc_solver_cache); the burst factors are
+    # pre-appended so the program is one fixed-shape scan.
+    K_BURST = 4 if SMOKE else 8
+    burst_idxs = []
+    for k in range(K_BURST):
+        a = 200 + 977 * k % (NP_ - 300)
+        b = a + 150
+        burst_idxs.append(g.add_relative(a, b, np.asarray(np.concatenate(
+            [[1, 0, 0, 0], [150.0, -0.05, 0]]).astype(np.float32)), sig))
+    data3 = g.to_device()
+    bidx = jnp.asarray(burst_idxs, jnp.int32)
+
+    def closure_burst(w):
+        c0 = sv.build_cache(data3, w, jmask, scfg_inc)
+
+        def body(carry, fi):
+            c, p = carry
+            c2 = sv.extend_cache(data3, p, jmask, c, fi, scfg_inc)
+            out = sv.solve_cached(data3, p, jmask, c2, scfg_inc)
+            return (c2, out.poses), out.error_final
+        (c, p), errs = jax.lax.scan(body, (c0, w), bidx)
+        return p
+
+    burst_ms = prof.marginal_ms(closure_burst, (warm_sets[0],), k_lo=1,
+                                k_hi=3, reps=2 if SMOKE else 3)
+    extras['tpu_closure_burst_amortized_ms'] = round(burst_ms / K_BURST, 2)
+    extras['tpu_closure_burst_k'] = K_BURST
+
     # Marginal covariance recovery (gtsam::Marginals::marginalCovariance,
     # laser_track.cpp:421-429) at the same 10k graph: 8 keys x 6 probe
     # directions, all batched through one preconditioned-PCG program.
@@ -732,31 +842,45 @@ def main():
     else:
         cfg16 = beam_cfg(16384, 16384, 512, 256)
         cfgk = beam_cfg(131072, 32768, 1024, 1024)
-    rate16, err16 = run_e2e(cfg16, frames_16k, n_warm=8)  # 120 timed scans
-    extras['tpu_e2e_beam16k_scans_per_sec'] = round(rate16, 2)
+
+    # Every e2e leg: median of >= 3 fresh-runner reps, min/max recorded
+    # (round-4 verdict weak #1: single-rep legs swing ~3x with tunnel
+    # weather and round-over-round deltas were unattributable).
+    E2E_REPS = 1 if SMOKE else 3
+
+    def leg(key, fn, reps=E2E_REPS):
+        outs = [fn() for _ in range(reps)]
+        rates = [o[0] if isinstance(o, tuple) else o for o in outs]
+        order = np.argsort(rates)
+        extras[key] = round(float(np.median(rates)), 2)
+        if reps > 1:
+            extras[key + '_min'] = round(float(min(rates)), 2)
+            extras[key + '_max'] = round(float(max(rates)), 2)
+        return outs[int(order[len(order) // 2])]
+
+    rate16, err16 = leg('tpu_e2e_beam16k_scans_per_sec',
+                        lambda: run_e2e(cfg16, frames_16k, n_warm=8))
+    rate16 = extras['tpu_e2e_beam16k_scans_per_sec']
     extras['tpu_e2e_beam16k_mean_err_m'] = round(err16, 3)
     extras['vs_cpu_e2e_16k'] = round(rate16 / cpu_e2e_16k, 1)
 
-    # Per-scan KITTI leg: N reps, median +- spread — the number rides the
-    # axon tunnel's per-dispatch latency, which varies run to run
-    # (round-3 verdict: 16.63 driver-captured vs 25 builder-local).
-    kitti_rates = []
-    for _ in range(1 if SMOKE else 5):
-        ratek, errk = run_e2e(cfgk, frames_kitti, n_warm=10)  # 106 timed
-        kitti_rates.append(ratek)
-    ratek = float(np.median(kitti_rates))
-    extras['tpu_e2e_kitti_density_scans_per_sec'] = round(ratek, 2)
-    extras['tpu_e2e_kitti_scans_per_sec_min'] = round(min(kitti_rates), 2)
-    extras['tpu_e2e_kitti_scans_per_sec_max'] = round(max(kitti_rates), 2)
+    # Per-scan KITTI leg keeps its 5-rep protocol (the round-3/4 spread
+    # diagnostic rides it).
+    _, errk = leg('tpu_e2e_kitti_density_scans_per_sec',
+                  lambda: run_e2e(cfgk, frames_kitti, n_warm=10),
+                  reps=1 if SMOKE else 5)
+    ratek = extras['tpu_e2e_kitti_density_scans_per_sec']
     extras['tpu_e2e_kitti_mean_err_m'] = round(errk, 3)
     extras['vs_cpu_e2e_kitti'] = round(ratek / cpu_e2e_kitti, 1)
 
-    rate16c = run_e2e_chunked(cfg16, frames_16k, n_warm=8)
-    extras['tpu_e2e_beam16k_chunked_scans_per_sec'] = round(rate16c, 2)
-    extras['vs_cpu_e2e_16k_chunked'] = round(rate16c / cpu_e2e_16k, 1)
-    ratekc = run_e2e_chunked(cfgk, frames_kitti, n_warm=10)
-    extras['tpu_e2e_kitti_chunked_scans_per_sec'] = round(ratekc, 2)
-    extras['vs_cpu_e2e_kitti_chunked'] = round(ratekc / cpu_e2e_kitti, 1)
+    leg('tpu_e2e_beam16k_chunked_scans_per_sec',
+        lambda: run_e2e_chunked(cfg16, frames_16k, n_warm=8))
+    extras['vs_cpu_e2e_16k_chunked'] = round(
+        extras['tpu_e2e_beam16k_chunked_scans_per_sec'] / cpu_e2e_16k, 1)
+    leg('tpu_e2e_kitti_chunked_scans_per_sec',
+        lambda: run_e2e_chunked(cfgk, frames_kitti, n_warm=10))
+    extras['vs_cpu_e2e_kitti_chunked'] = round(
+        extras['tpu_e2e_kitti_chunked_scans_per_sec'] / cpu_e2e_kitti, 1)
 
     # Packed ingest: the same frames as sensor-native uint16 range
     # images (2 B/point vs 12 B xyz; decode on device —
@@ -767,17 +891,22 @@ def main():
     # fix on the per-scan AND chunked paths.
     az16 = 64 if SMOKE else 256
     azk = 128 if SMOKE else 2048
-    ratekp, errkp = run_e2e(cfgk, frames_kitti, n_warm=10, packed_az=azk)
-    extras['tpu_e2e_kitti_packed_scans_per_sec'] = round(ratekp, 2)
+    _, errkp = leg('tpu_e2e_kitti_packed_scans_per_sec',
+                   lambda: run_e2e(cfgk, frames_kitti, n_warm=10,
+                                   packed_az=azk))
     extras['tpu_e2e_kitti_packed_mean_err_m'] = round(errkp, 3)
-    extras['vs_cpu_e2e_kitti_packed'] = round(ratekp / cpu_e2e_kitti, 1)
-    ratekpc = run_e2e_chunked(cfgk, frames_kitti, n_warm=10, packed_az=azk)
-    extras['tpu_e2e_kitti_packed_chunked_scans_per_sec'] = round(ratekpc, 2)
+    extras['vs_cpu_e2e_kitti_packed'] = round(
+        extras['tpu_e2e_kitti_packed_scans_per_sec'] / cpu_e2e_kitti, 1)
+    leg('tpu_e2e_kitti_packed_chunked_scans_per_sec',
+        lambda: run_e2e_chunked(cfgk, frames_kitti, n_warm=10,
+                                packed_az=azk))
     extras['vs_cpu_e2e_kitti_packed_chunked'] = round(
-        ratekpc / cpu_e2e_kitti, 1)
-    rate16p, _ = run_e2e(cfg16, frames_16k, n_warm=8, packed_az=az16)
-    extras['tpu_e2e_beam16k_packed_scans_per_sec'] = round(rate16p, 2)
-    extras['vs_cpu_e2e_16k_packed'] = round(rate16p / cpu_e2e_16k, 1)
+        extras['tpu_e2e_kitti_packed_chunked_scans_per_sec']
+        / cpu_e2e_kitti, 1)
+    leg('tpu_e2e_beam16k_packed_scans_per_sec',
+        lambda: run_e2e(cfg16, frames_16k, n_warm=8, packed_az=az16))
+    extras['vs_cpu_e2e_16k_packed'] = round(
+        extras['tpu_e2e_beam16k_packed_scans_per_sec'] / cpu_e2e_16k, 1)
 
     # Flagship configuration: complete SLAM INCLUDING loop-closure
     # detection.  The reference needs the external segmatch node for
@@ -821,27 +950,156 @@ def main():
         return rate, len(r.detections), len(r.rejected_detections)
 
     pr_streams = {}
-    pr_streams['16k'] = vs.BeamStream(
+    pr_streams['16k'] = list(vs.BeamStream(
         n_scans=32 if SMOKE else 128, n_beams=64,
         n_azimuth=64 if SMOKE else 256, trajectory='circle',
         radius_m=20.0, center_m=(8.0, 5.0), laps=2, world_size_m=80.0,
-        range_noise_m=0.01, odom_noise=0.005, seed=21)
-    pr_streams['kitti'] = vs.BeamStream(
+        range_noise_m=0.01, odom_noise=0.005, seed=21))
+    pr_streams['kitti'] = list(vs.BeamStream(
         n_scans=26 if SMOKE else 116, n_beams=64,
         n_azimuth=128 if SMOKE else 2048, trajectory='circle',
         radius_m=20.0, center_m=(8.0, 5.0), laps=2, world_size_m=80.0,
-        range_noise_m=0.01, odom_noise=0.005, seed=22)
-    rate16pr, det16, rej16 = run_e2e_pr(cfg16, list(pr_streams['16k']),
-                                        n_warm=8)
-    extras['tpu_e2e_beam16k_pr_scans_per_sec'] = round(rate16pr, 2)
+        range_noise_m=0.01, odom_noise=0.005, seed=22))
+
+    # Host-side cost attribution for the PR overhead (round-4 verdict
+    # weak #2: the 16k PR-on/PR-off gap was never broken down): the
+    # runner's Benchmarker topics time detection flushes, ICP
+    # verification, cache (re)builds and closure-solve dispatches.
+    from laser_slam_tpu.core import benchmarker as bench_reg
+
+    def pr_leg(prefix, cfg, frames, n_warm):
+        bench_reg.enable()
+        bench_reg.reset_topic()
+        out = leg(f'{prefix}_scans_per_sec',
+                  lambda: run_e2e_pr(cfg, frames, n_warm=n_warm))
+        stats = bench_reg.statistics()
+        for topic, short in (('online.flush_detections', 'flush'),
+                             ('online.verify_closure', 'verify'),
+                             ('online.lc_cache_build', 'cache_build'),
+                             ('online.lc_solve_dispatch', 'lc_solve')):
+            if topic in stats:
+                mean, _, cnt = stats[topic]
+                # Totals are summed over E2E_REPS runs; report per-run.
+                extras[f'{prefix}_{short}_ms_total'] = round(
+                    mean * cnt / max(E2E_REPS, 1), 1)
+        bench_reg.disable()
+        return out
+
+    _, det16, rej16 = pr_leg('tpu_e2e_beam16k_pr', cfg16,
+                             pr_streams['16k'], n_warm=8)
     extras['tpu_e2e_beam16k_pr_detections'] = det16
-    extras['vs_cpu_e2e_16k_pr'] = round(rate16pr / cpu_e2e_16k, 1)
-    ratekpr, detk, rejk = run_e2e_pr(cfgk, list(pr_streams['kitti']),
-                                     n_warm=10)
-    extras['tpu_e2e_kitti_pr_scans_per_sec'] = round(ratekpr, 2)
+    extras['tpu_e2e_beam16k_pr_rejected'] = rej16
+    extras['vs_cpu_e2e_16k_pr'] = round(
+        extras['tpu_e2e_beam16k_pr_scans_per_sec'] / cpu_e2e_16k, 1)
+    _, detk, rejk = pr_leg('tpu_e2e_kitti_pr', cfgk, pr_streams['kitti'],
+                           n_warm=10)
     extras['tpu_e2e_kitti_pr_detections'] = detk
     extras['tpu_e2e_kitti_pr_rejected'] = rejk
-    extras['vs_cpu_e2e_kitti_pr'] = round(ratekpr / cpu_e2e_kitti, 1)
+    extras['vs_cpu_e2e_kitti_pr'] = round(
+        extras['tpu_e2e_kitti_pr_scans_per_sec'] / cpu_e2e_kitti, 1)
+
+    # Multi-robot e2e (BASELINE config 4: 2-4 LaserTracks jointly
+    # optimized, the only BASELINE config without a perf number through
+    # round 4): two robots replay interleaved beam streams over ONE
+    # shared world (same BeamScene); forced priors park the tracks 100 m
+    # apart (laser_track.cpp:166-170).  After the timed window a
+    # ground-truth-consistent rendezvous closure links the groups
+    # (first-association noise + absorbed-prior removal,
+    # incremental_estimator.cpp:165-266) and the linked-map ATE is
+    # reported after one refine pass.
+    mr_cfg = dc_replace(cfg16, laser_track=dc_replace(
+        cfg16.laser_track, force_priors=True))
+    mr_scene = vs.make_beam_scene(seed=31, world_size_m=80.0)
+    MR_N = 16 if SMOKE else 64
+    mr_streams = [list(vs.BeamStream(
+        n_scans=MR_N, n_beams=64, n_azimuth=64 if SMOKE else 256,
+        trajectory='circle', radius_m=20.0,
+        center_m=(6.0 * t, 4.0 * t), laps=1, world_size_m=80.0,
+        range_noise_m=0.01, odom_noise=0.005, seed=31 + t,
+        scene=mr_scene)) for t in range(2)]
+    MR_WARM = 4 if SMOKE else 8
+
+    def run_mr(chunk=0):
+        r = online.OnlineRunner(mr_cfg, pose_capacity=2048,
+                                factor_capacity=8192, n_tracks=2,
+                                archive_points=1024)
+        for i in range(MR_WARM):
+            for t in range(2):
+                f = mr_streams[t][i]
+                r.process_scan(f.time_ns + t, f.points, f.odom_pose7,
+                               track_id=t)
+        if chunk:
+            # Compile the chunk shape outside the timed window.
+            for t in range(2):
+                r.process_scans(
+                    [(f.time_ns + t, f.points, f.odom_pose7)
+                     for f in mr_streams[t][MR_WARM:MR_WARM + chunk]],
+                    track_id=t)
+        n0 = MR_WARM + (chunk if chunk else 0)
+        n_timed = ((MR_N - n0) // chunk * chunk if chunk else MR_N - n0)
+        jax.block_until_ready(r.state.traj_poses)
+        t0 = time.perf_counter()
+        if chunk:
+            for k in range(n0, n0 + n_timed, chunk):
+                for t in range(2):
+                    r.process_scans(
+                        [(f.time_ns + t, f.points, f.odom_pose7)
+                         for f in mr_streams[t][k:k + chunk]], track_id=t)
+        else:
+            for i in range(n0, MR_N):
+                for t in range(2):
+                    f = mr_streams[t][i]
+                    r.process_scan(f.time_ns + t, f.points, f.odom_pose7,
+                                   track_id=t)
+        jax.block_until_ready(r.state.traj_poses)
+        rate = 2 * n_timed / (time.perf_counter() - t0)
+        return rate, r
+
+    _, r_mr = leg('tpu_e2e_multirobot_scans_per_sec', run_mr)
+    extras['vs_cpu_e2e_multirobot'] = round(
+        extras['tpu_e2e_multirobot_scans_per_sec'] / cpu_e2e_16k, 1)
+    leg('tpu_e2e_multirobot_chunked_scans_per_sec',
+        lambda: run_mr(chunk=8))
+
+    # Rendezvous linking closure on the median per-scan run: the
+    # closest ground-truth co-location between the two tracks.
+    gt = [np.stack([f.gt_pose7 for f in s]) for s in mr_streams]
+    keys_of = [[k for k, (t, _) in enumerate(r_mr.key_info) if t == tid]
+               for tid in range(2)]
+    d2 = np.linalg.norm(gt[0][:, None, 4:] - gt[1][None, :, 4:], axis=-1)
+    ia_mr, ib_mr = np.unravel_index(np.argmin(d2), d2.shape)
+    ka_mr, kb_mr = keys_of[0][ia_mr], keys_of[1][ib_mr]
+    poses_mr = online.extract_trajectory(r_mr.state)
+    rel_true = se3.compose(
+        se3.inverse(jnp.asarray(gt[0][ia_mr])),
+        jnp.asarray(gt[1][ib_mr]))
+    w_T_a_b = np.asarray(se3.compose(
+        jnp.asarray(poses_mr[ka_mr]),
+        se3.compose(rel_true,
+                        se3.inverse(jnp.asarray(poses_mr[kb_mr])))))
+    t0 = time.perf_counter()
+    assert r_mr.add_loop_closure(ka_mr, kb_mr, w_T_a_b)
+    jax.block_until_ready(r_mr.state.traj_poses)
+    extras['tpu_multirobot_link_closure_ms'] = round(
+        (time.perf_counter() - t0) * 1e3, 1)
+    # One strong refine pass absorbs the ~100 m correction (the closure
+    # is far outside one warm GN step's trust region — online.py
+    # docstring at online_solve).
+    r_mr.refine(2, gn_iterations=6, pcg_iterations=128,
+                pcg_tolerance=1e-8)
+    poses_mr2 = online.extract_trajectory(r_mr.state)
+    # Linked-map ATE: track 1's poses against their expected locations in
+    # the SHARED frame, anchored at the closure key of track 0.
+    Ta2 = jnp.asarray(poses_mr2[ka_mr])
+    errs_mr = []
+    for j, kb in enumerate(keys_of[1]):
+        exp = se3.compose(Ta2, se3.compose(
+            se3.inverse(jnp.asarray(gt[0][ia_mr])),
+            jnp.asarray(gt[1][j])))
+        errs_mr.append(np.linalg.norm(np.asarray(exp)[4:]
+                                      - poses_mr2[kb][4:]))
+    extras['tpu_multirobot_linked_ate_m'] = round(
+        float(np.mean(errs_mr)), 3)
 
     # Fleet mode (BASELINE config 5): 256 parallel trajectories on one chip.
     from laser_slam_tpu.parallel import fleet as fleet_mod
@@ -946,16 +1204,35 @@ def main():
         r_bd, frames_kitti[6].points, frames_kitti[6].odom_pose7,
         ranges_u16=frames_kitti[6].range_words,
         reps=2 if SMOKE else 5)
+    # Transport-independent e2e headline (round-4 verdict missing #1c):
+    # chained-marginal device ms of the fused per-scan step — the
+    # number comparable across rounds regardless of tunnel weather.
+    dmsk = profiling.full_step_device_ms(
+        r_bd, frames_kitti[6].points, frames_kitti[6].odom_pose7,
+        reps=2 if SMOKE else 5)
+    extras['tpu_e2e_kitti_device_ms_per_scan'] = round(dmsk, 2)
+    extras['tpu_e2e_kitti_device_scans_per_sec'] = round(
+        1e3 / max(dmsk, 1e-3), 1)
+    r_bd16 = online.OnlineRunner(cfg16, pose_capacity=2048,
+                                 factor_capacity=8192)
+    for f in frames_16k[:6]:
+        r_bd16.process_scan(f.time_ns, f.points, f.odom_pose7)
+    jax.block_until_ready(r_bd16.state.traj_poses)
+    dms16 = profiling.full_step_device_ms(
+        r_bd16, frames_16k[6].points, frames_16k[6].odom_pose7,
+        reps=2 if SMOKE else 5)
+    extras['tpu_e2e_beam16k_device_ms_per_scan'] = round(dms16, 2)
+    extras['tpu_e2e_beam16k_device_scans_per_sec'] = round(
+        1e3 / max(dms16, 1e-3), 1)
     extras.update(profiling.nn_kernel_utilization(
         readings_np[0], ref_np, reps=2 if SMOKE else 5))
 
-    print(json.dumps({
+    emit({
         'metric': 'ICP scan-pairs/sec (64k ref, 8k reading, pt-to-plane)',
         'value': round(tpu_best, 2),
         'unit': 'pairs/s',
         'vs_baseline': round(tpu_best / cpu_rate, 2),
-        **extras,
-    }))
+    }, extras)
 
 
 if __name__ == '__main__':

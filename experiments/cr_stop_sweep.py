@@ -43,7 +43,7 @@ def main():
         sv._CR_STOP = stop
         cache = jax.jit(sv.build_cache, static_argnames=('config',))(
             data, poses, mask, cfg_inc)
-        jax.block_until_ready(cache.chol)
+        jax.block_until_ready(cache.chol_inv)
         apply_M = sv._apply_from_cache(cache)
 
         def f_apply(x, i, c):
@@ -62,7 +62,7 @@ def main():
 
         def f_bc(x, i, c):
             e = sv.build_cache(data, x + 1e-6 * c, mask, cfg_inc)
-            return c + e.chol[0, 0] * 1e-9
+            return c + e.chol_inv[0, 0] * 1e-9
         b_ms = marginal_ms(f_bc, poses, k1=1, k2=3)
         print(f'stop={stop:5d}  apply {a_ms:6.2f} ms  solve_cached '
               f'{s_ms:6.2f} ms  build {b_ms:6.2f} ms  pcg_iters {n_it}  '

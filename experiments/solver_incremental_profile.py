@@ -222,12 +222,12 @@ def main():
     # NEW incremental path: cached preconditioner (build once, extend by
     # one factor, solve with the cache).
     cache = sv.build_cache(data, poses, mask, cfg)
-    jax.block_until_ready(cache.chol)
+    jax.block_until_ready(cache.chol_inv)
 
     def f_ext(x, i, c):
         e = sv.extend_cache(data, x + 1e-6 * c, mask, cache,
                             jnp.int32(10_050), cfg)
-        return c + e.chol[0, 0] * 1e-9
+        return c + e.chol_inv[0, 0] * 1e-9
     if want('extend_cache'):
         record('extend_cache', marginal_ms(f_ext, poses))
 
@@ -239,7 +239,7 @@ def main():
 
     def f_bc(x, i, c):
         e = sv.build_cache(data, x + 1e-6 * c, mask, cfg)
-        return c + e.chol[0, 0] * 1e-9
+        return c + e.chol_inv[0, 0] * 1e-9
     if want('build_cache'):
         record('build_cache', marginal_ms(f_bc, poses, k1=1, k2=3))
 

@@ -280,6 +280,26 @@ class SolverConfig:
     #             costs ~1.8 ms regardless of structure).
     #   'scatter' the general gather/scatter form (any graph topology).
     matvec: str = 'chain'
+    # PCG start vector:
+    #   'zero'     classic x0 = 0 (default).
+    #   'precond'  x0 = M(b) — the direct-Woodbury fast path.  With the
+    #              near-exact Woodbury H^-1 the start already satisfies
+    #              pcg_tolerance and the loop exits after 0-1 iterations
+    #              (one matvec to confirm the residual), so a cached
+    #              incremental solve costs ~2 preconditioner applies
+    #              instead of pcg_iterations of them; a degraded
+    #              preconditioner (stale cache, off-chain overflow) just
+    #              falls back to the usual iteration count.  Only useful
+    #              when the preconditioner approximates H^-1 well
+    #              (woodbury; tridiagonal on closure-free chains).
+    pcg_init: str = 'zero'
+    # Compute error_initial/error_final (graph_error: a full-capacity
+    # residual pass each) in SolveResult.  The errors are diagnostics —
+    # the reference's estimate() doesn't report one either
+    # (incremental_estimator.cpp:151-163) — and on the cached incremental
+    # fast path the two passes are a measurable share of the fixed
+    # per-call cost; False returns -1.0 for both.
+    compute_errors: bool = True
     # Cached-preconditioner staleness bound (OnlineRunner loop-closure
     # solves): once this many factors have been appended since the
     # WoodburyCache was built, the next full solve rebuilds it instead of

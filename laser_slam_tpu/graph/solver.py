@@ -244,13 +244,12 @@ def _make_matvec(lin: _LinearizedGraph, damping, config):
     capacity = config.offchain_capacity
     off = _offchain_mask(lin)
     L = min(capacity, lin.keys.shape[0])
-    sel = jnp.argsort(~off, stable=True)[:L]
-    valid = off[sel]
+    sel, valid = _first_true_indices(off, L)
     covered = jnp.sum(off) <= L
     # T excludes the selected off-chain factors entirely; their diagonal
     # AND coupling ride in U U^T (exact, not a preconditioner: no boost).
     w_scale = jnp.ones_like(lin.w_rel).at[sel].set(
-        jnp.where(valid, 0.0, 1.0))
+        jnp.where(valid, 0.0, 1.0), mode='drop')
     B, A = _build_tridiag(lin, damping, w_scale=w_scale, boost=False)
     Ua, Ub, ka, kb = _offchain_blocks(lin, sel, valid)
     zero = jnp.zeros((1, 6, 6), B.dtype)
@@ -419,7 +418,13 @@ def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None,
 # ~1.2 ms per apply at 16k poses with full log2(N)=14-level reduction),
 # while a [384,384] matmul is one MXU tile.  Trading the last log2(stop)
 # levels for a dense root cut apply latency ~2x at equal accuracy.
-_CR_STOP = 64
+# Round-5 re-sweep (experiments/cr_stop_sweep.py, 16k-padded chain):
+# apply 1.30 ms @64 -> 0.42 @256 -> 0.27 @512 -> 0.17 @1024; 512 is the
+# knee once root_inv HBM footprint is considered ([3072,3072] f32 =
+# 37 MB, read twice per apply ~= 90 us of bandwidth; 1024 quadruples
+# that for 0.1 ms).  The direct-Woodbury solve path (pcg_init=
+# 'precond') makes the apply THE hot op, so the knee matters.
+_CR_STOP = 512
 
 
 def _tridiag_factor(B, A, stop=None):
@@ -569,14 +574,32 @@ def _offchain_mask(lin: _LinearizedGraph):
     return (lin.w_rel > 0) & ~_chain_mask(lin) & touches_free
 
 
+def _first_true_indices(flags, L: int):
+    """Indices [L] of the first L True entries of ``flags`` (in index
+    order) plus a validity mask for slots beyond the True count.
+
+    cumsum + scatter instead of ``argsort(~flags)[:L]``: a full sort on
+    a 16k factor buffer is a multi-ms bitonic network on TPU, while this
+    is one prefix sum and one scatter (the same trick as
+    cloud._pack_scatter)."""
+    F = flags.shape[0]
+    pos = jnp.cumsum(flags) - 1                  # rank among True entries
+    dest = jnp.where(flags & (pos < L), pos, L)
+    sel = jnp.full((L,), F, jnp.int32)
+    sel = sel.at[dest].set(jnp.arange(F, dtype=jnp.int32), mode='drop')
+    # Invalid slots keep the OUT-OF-BOUNDS sentinel F: gathers through
+    # them clamp (and are gated by ``valid``); scatters through them must
+    # use mode='drop' — a clamped in-bounds padding index could collide
+    # with a real selected factor and clobber its write.
+    return sel, sel < F
+
+
 def _select_offchain(lin: _LinearizedGraph, capacity: int):
     """Indices [L] of up to ``capacity`` active off-chain factors, plus a
     validity mask (False slots are padding)."""
     F = lin.keys.shape[0]
     L = min(capacity, F)
-    off = _offchain_mask(lin)
-    order = jnp.argsort(~off, stable=True)[:L]
-    return order, off[order]
+    return _first_true_indices(_offchain_mask(lin), L)
 
 
 def _offchain_blocks(lin: _LinearizedGraph, sel, valid):
@@ -601,15 +624,23 @@ class WoodburyCache(NamedTuple):
     factor is a rank-6 *extension* of the capacitance factor
     (:func:`extend_cache`) — no O(N) rebuild.
 
-    All fields are fixed-shape arrays (identity padding rows in ``chol``
-    for unused slots), so the cache round-trips through jit unchanged.
+    All fields are fixed-shape arrays (identity padding rows in
+    ``chol_inv`` for unused slots), so the cache round-trips through jit
+    unchanged.
+
+    ``chol_inv`` holds the INVERSE of the capacitance's lower Cholesky
+    factor, not the factor itself: on TPU a triangular solve is a
+    sequential-depth LAPACK-style loop (~ms at K=384) while applying the
+    prebuilt inverse is one MXU matmul — both the per-solve capacitance
+    apply (L^-T L^-1 c) and the rank-6 extension become pure matmuls,
+    and the one [K,K] triangular solve left is paid at BUILD time only.
     """
     factors: tuple       # (levels, root_inv) cyclic-reduction factors of T0
     Ua: jax.Array        # [L,6,6] column-scaled off-chain blocks (key_a)
     Ub: jax.Array        # [L,6,6] (key_b)
     ka: jax.Array        # [L] int32 pose keys
     kb: jax.Array        # [L]
-    chol: jax.Array      # [K,K] LOWER-triangular Cholesky of the capacitance
+    chol_inv: jax.Array  # [K,K] INVERSE lower Cholesky of the capacitance
     n_used: jax.Array    # int32: occupied slots (append cursor)
 
 
@@ -620,7 +651,7 @@ def _build_woodbury_cache(lin: _LinearizedGraph, damping,
     # contribution rides in U U^T); unselected off-chain overflow keeps
     # its diagonal in T0 — graceful degradation to 'tridiagonal'.
     w_scale = jnp.ones_like(lin.w_rel).at[sel].set(
-        jnp.where(valid, 0.0, 1.0))
+        jnp.where(valid, 0.0, 1.0), mode='drop')
     factors = _tridiag_factor(*_build_tridiag(lin, damping,
                                               w_scale=w_scale))
     Ua, Ub, ka, kb = _offchain_blocks(lin, sel, valid)
@@ -655,14 +686,18 @@ def _build_woodbury_cache(lin: _LinearizedGraph, damping,
     # correction; scaling each diagonal entry by (1 + 1e-5) only nudges
     # the factorization toward SPD.
     C = C + jnp.diag(1e-5 * jnp.abs(jnp.diagonal(C)))
-    # Lower-triangular factor as a PLAIN matrix (not a cho_factor opaque
-    # pair) so extend_cache can append block rows in place.  Padding slots
-    # (valid=False) have zero U blocks and diag_c=1 → identity rows, so
-    # the factor is well-defined at any fill level.
+    # Inverse lower factor as a PLAIN matrix so extend_cache can append
+    # block rows in place (see WoodburyCache docstring for why the
+    # inverse).  Padding slots (valid=False) have zero U blocks and
+    # diag_c=1 → identity rows, so the factor is well-defined at any
+    # fill level.  The [K,K] triangular solve here is the only one in
+    # the whole cached path and is paid once per build.
     chol = jnp.linalg.cholesky(C)
+    chol_inv = jax.scipy.linalg.solve_triangular(
+        chol, jnp.eye(K, dtype=C.dtype), lower=True)
     n_used = jnp.sum(valid.astype(jnp.int32))
     return WoodburyCache(factors=factors, Ua=Ua, Ub=Ub, ka=ka, kb=kb,
-                         chol=chol, n_used=n_used)
+                         chol_inv=chol_inv, n_used=n_used)
 
 
 def _apply_from_cache(cache: WoodburyCache):
@@ -675,7 +710,9 @@ def _apply_from_cache(cache: WoodburyCache):
         t1 = _tridiag_apply(cache.factors, r)
         c = (jnp.einsum('lsc,ls->lc', Ua, t1[ka]) +
              jnp.einsum('lsc,ls->lc', Ub, t1[kb])).reshape(K)
-        y = jax.scipy.linalg.cho_solve((cache.chol, True), c).reshape(L, 6)
+        # C^-1 c = L^-T (L^-1 c) — two matmuls with the prebuilt inverse
+        # factor (no sequential triangular solve on the hot path).
+        y = (cache.chol_inv.T @ (cache.chol_inv @ c)).reshape(L, 6)
         z = jnp.zeros_like(r)
         z = z.at[ka].add(jnp.einsum('lsc,lc->ls', Ua, y))
         z = z.at[kb].add(jnp.einsum('lsc,lc->ls', Ub, y))
@@ -743,19 +780,30 @@ def _dense_apply(chol, b):
 
 
 def _pcg(lin: _LinearizedGraph, b, damping, iterations, tol, apply_M,
-         matvec=None):
+         matvec=None, x0=None):
     """Preconditioned CG for H x = b over [N,6] states, with a prebuilt
     preconditioner closure (see :func:`_make_preconditioner`) and an
     optional prebuilt matvec (see :func:`_make_matvec`; defaults to the
-    general scatter form)."""
+    general scatter form).
+
+    ``x0``: optional warm start.  The direct-Woodbury fast path passes
+    ``x0 = apply_M(b)`` — with the near-exact Woodbury H^-1 that start
+    already satisfies the tolerance and the loop exits after 0-1
+    iterations (one matvec to confirm), turning PCG into a direct solve
+    with built-in fallback: a degraded preconditioner (stale cache,
+    off-chain overflow) just means the loop runs its usual iterations.
+    """
     if matvec is None:
         matvec = lambda v: _hessian_matvec(lin, v, damping)  # noqa: E731
 
     def dot(u, v):
         return jnp.sum(u * v)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b  # since x0 = 0
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b  # since x0 = 0
+    else:
+        r0 = b - matvec(x0)
     z0 = apply_M(r0)
     p0 = z0
     rz0 = dot(r0, z0)
@@ -834,7 +882,8 @@ def solve(graph: FactorGraphData, poses, pose_mask,
     snap_idx = jnp.where(gauge, graph.prior_keys, poses.shape[0])
     poses = poses.at[snap_idx].set(graph.prior_meas, mode='drop')
 
-    e0 = graph_error(graph, poses)
+    e0 = (graph_error(graph, poses) if config.compute_errors
+          else jnp.float32(-1.0))
     gn_tol = config.gn_tolerance
     # gn_tolerance compares against the RMS step per ACTIVE pose, not the
     # global norm: a 10k-pose graph sums 10k tiny deltas into a large
@@ -870,8 +919,10 @@ def solve(graph: FactorGraphData, poses, pose_mask,
             lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
             b = -_gradient(lin)
             mv = _make_matvec(lin, damping, config)
+            x0 = apply_M(b) if config.pcg_init == 'precond' else None
             delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
-                                 config.pcg_tolerance, apply_M, matvec=mv)
+                                 config.pcg_tolerance, apply_M, matvec=mv,
+                                 x0=x0)
             delta = jnp.nan_to_num(delta) * lin.free[:, None]
             new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
             new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
@@ -896,7 +947,8 @@ def solve(graph: FactorGraphData, poses, pose_mask,
     (poses_out, pcg_total, _), _ = jax.lax.scan(
         gn_step, (poses, jnp.int32(0), jnp.float32(jnp.inf)), None,
         length=config.gn_iterations)
-    e1 = graph_error(graph, poses_out)
+    e1 = (graph_error(graph, poses_out) if config.compute_errors
+          else jnp.float32(-1.0))
     return SolveResult(poses=poses_out, error_initial=e0, error_final=e1,
                        pcg_iterations=pcg_total)
 
@@ -911,6 +963,25 @@ def _chol6_matrix(A):
     rows = []
     for i in range(6):
         cols = [L[i][j] if j <= i else jnp.zeros_like(A[..., 0, 0])
+                for j in range(6)]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def _lower6_inverse(Lm):
+    """Inverse of a dense lower-triangular [6,6] matrix, unrolled
+    forward substitution (elementwise — no LAPACK loop)."""
+    inv = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        inv[i][i] = 1.0 / Lm[..., i, i]
+        for j in range(i):
+            s = 0.0
+            for k in range(j, i):
+                s = s + Lm[..., i, k] * inv[k][j]
+            inv[i][j] = -s / Lm[..., i, i]
+    rows = []
+    for i in range(6):
+        cols = [inv[i][j] if j <= i else jnp.zeros_like(Lm[..., 0, 0])
                 for j in range(6)]
         rows.append(jnp.stack(cols, axis=-1))
     return jnp.stack(rows, axis=-2)
@@ -943,13 +1014,15 @@ def extend_cache(graph: FactorGraphData, poses, pose_mask,
     capacitance C = L L^T already factored and a new scaled column block
     u, the extended factor is
 
-        [[C, B], [B^T, D]]  ->  L_new = [[L, 0], [X^T, chol(D - X^T X)]],
-        B = U_old^T T0^-1 u,  X = L^-1 B,
+        [[C, B], [B^T, D]]  ->  L_new = [[L, 0], [X^T, Ls]],
+        B = U_old^T T0^-1 u,  X = L^-1 B,  Ls = chol(D - X^T X),
 
-    costing one chain solve with 6 right-hand sides + one [K,6]
-    triangular solve — O(N log N / K^2) work instead of the full O(N K)
-    rebuild.  Slots are appended in order; when the off-chain capacity is
-    full the cache is returned unchanged (the factor then simply isn't
+    and since the cache stores L^-1 (see WoodburyCache), the appended
+    inverse row block is  [-Ls^-1 X^T L^-1, Ls^-1]  — one chain solve
+    with 6 right-hand sides plus two [K,.] matmuls, no triangular solve
+    at all.  O(N log N / K^2) work instead of the full O(N K) rebuild.
+    Slots are appended in order; when the off-chain capacity is full the
+    cache is returned unchanged (the factor then simply isn't
     preconditioned — PCG still converges, just slower).
     """
     n = poses.shape[0]
@@ -997,13 +1070,13 @@ def extend_cache(graph: FactorGraphData, poses, pose_mask,
          jnp.einsum('sc,sd->cd', Ub_n, v[kb_n]) + jnp.diag(diag_c))
     D = D + jnp.diag(1e-5 * jnp.abs(jnp.diagonal(D)))
 
-    # --- Block-Cholesky extension at the append cursor.  Rows of B at
-    # padding slots are zero (their U blocks are zero), so X inherits
-    # zeros there and the row write below stays consistent with the
-    # identity padding.
-    X = jax.scipy.linalg.solve_triangular(cache.chol, B, lower=True)  # [K,6]
+    # --- Block-Cholesky-inverse extension at the append cursor.  Rows of
+    # B at padding slots are zero (their U blocks are zero), so X
+    # inherits zeros there and the row write below stays consistent with
+    # the identity padding.
+    X = cache.chol_inv @ B                                        # [K,6]
     S = D - X.T @ X
-    Ls = _chol6_matrix(S)
+    Ls_inv = _lower6_inverse(_chol6_matrix(S))
 
     # Capacity overflow: re-write the occupied slot's OWN values — the
     # cache is then unchanged (the factor simply isn't preconditioned;
@@ -1012,9 +1085,12 @@ def extend_cache(graph: FactorGraphData, poses, pose_mask,
     slot = jnp.minimum(cache.n_used, L_cap - 1)
     Ua_n = jnp.where(full, cache.Ua[slot], Ua_n)
     Ub_n = jnp.where(full, cache.Ub[slot], Ub_n)
-    old_row = jax.lax.dynamic_slice(cache.chol, (6 * slot, 0), (6, K))
-    row = X.T                                                     # [6,K]
-    row = jax.lax.dynamic_update_slice(row, Ls, (0, 6 * slot))
+    # Appended row of L_new^-1: [-Ls^-1 X^T L^-1 | Ls^-1 at the slot].
+    # Columns past the slot are zero already (X is zero at padding rows,
+    # and L^-1's padding columns are canonical basis vectors).
+    row = -Ls_inv @ (X.T @ cache.chol_inv)                        # [6,K]
+    row = jax.lax.dynamic_update_slice(row, Ls_inv, (0, 6 * slot))
+    old_row = jax.lax.dynamic_slice(cache.chol_inv, (6 * slot, 0), (6, K))
     row = jnp.where(full, old_row, row)
     ka_w = jnp.where(full, cache.ka[slot], ka_n.astype(cache.ka.dtype))
     kb_w = jnp.where(full, cache.kb[slot], kb_n.astype(cache.kb.dtype))
@@ -1024,7 +1100,8 @@ def extend_cache(graph: FactorGraphData, poses, pose_mask,
         Ub=jax.lax.dynamic_update_slice(cache.Ub, Ub_n[None], (slot, 0, 0)),
         ka=cache.ka.at[slot].set(ka_w),
         kb=cache.kb.at[slot].set(kb_w),
-        chol=jax.lax.dynamic_update_slice(cache.chol, row, (6 * slot, 0)),
+        chol_inv=jax.lax.dynamic_update_slice(cache.chol_inv, row,
+                                              (6 * slot, 0)),
         n_used=jnp.where(full, cache.n_used, cache.n_used + 1),
     )
 
@@ -1045,7 +1122,8 @@ def solve_cached(graph: FactorGraphData, poses, pose_mask,
     snap_idx = jnp.where(gauge, graph.prior_keys, poses.shape[0])
     poses = poses.at[snap_idx].set(graph.prior_meas, mode='drop')
 
-    e0 = graph_error(graph, poses)
+    e0 = (graph_error(graph, poses) if config.compute_errors
+          else jnp.float32(-1.0))
     gn_tol = config.gn_tolerance
     n_active = jnp.maximum(jnp.sum(pose_mask.astype(jnp.float32)), 1.0)
     apply_M = _apply_from_cache(cache)
@@ -1054,8 +1132,10 @@ def solve_cached(graph: FactorGraphData, poses, pose_mask,
         lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
         b = -_gradient(lin)
         mv = _make_matvec(lin, damping, config)
+        x0 = apply_M(b) if config.pcg_init == 'precond' else None
         delta, pcg_it = _pcg(lin, b, damping, config.pcg_iterations,
-                             config.pcg_tolerance, apply_M, matvec=mv)
+                             config.pcg_tolerance, apply_M, matvec=mv,
+                             x0=x0)
         delta = jnp.nan_to_num(delta) * lin.free[:, None]
         new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
         new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
@@ -1077,7 +1157,8 @@ def solve_cached(graph: FactorGraphData, poses, pose_mask,
     (poses_out, pcg_total, _), _ = jax.lax.scan(
         gn_step, (poses, jnp.int32(0), jnp.float32(jnp.inf)), None,
         length=config.gn_iterations)
-    e1 = graph_error(graph, poses_out)
+    e1 = (graph_error(graph, poses_out) if config.compute_errors
+          else jnp.float32(-1.0))
     return SolveResult(poses=poses_out, error_initial=e0, error_final=e1,
                        pcg_iterations=pcg_total)
 
@@ -1136,8 +1217,9 @@ def _marginal_probes(lin: _LinearizedGraph, damping, apply_M, iters,
 
     def one_probe(key, d):
         e = jnp.zeros((n, 6), poses.dtype).at[key, d].set(1.0)
+        x0 = apply_M(e) if config.pcg_init == 'precond' else None
         x, _ = _pcg(lin, e, damping, iters, config.pcg_tolerance, apply_M,
-                    matvec=mv)
+                    matvec=mv, x0=x0)
         return x[key]
 
     def one_key(key):

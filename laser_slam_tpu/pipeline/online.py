@@ -1514,19 +1514,22 @@ class OnlineRunner:
         per-scan path or a whole chunk's accumulated rows."""
         if not self._pr_pending:
             return
-        pending, self._pr_pending = self._pr_pending, []
-        keys = [k for ks, _ in pending for k in ks]
-        rows = np.asarray(jnp.concatenate([r for _, r in pending], axis=0))
-        for key, row in zip(keys, rows):
-            det = self.detector.to_detection(row)
-            if det is None:
-                continue
-            pr_cfg = self.detector.config
-            if (self.detections and
-                    key - self.detections[-1][1]
-                    < pr_cfg.min_keys_between_detections):
-                continue
-            self._inject_detection(det, key)
+        from laser_slam_tpu.core import benchmarker as _bench
+        with _bench.scoped_timer('online.flush_detections'):
+            pending, self._pr_pending = self._pr_pending, []
+            keys = [k for ks, _ in pending for k in ks]
+            rows = np.asarray(jnp.concatenate([r for _, r in pending],
+                                              axis=0))
+            for key, row in zip(keys, rows):
+                det = self.detector.to_detection(row)
+                if det is None:
+                    continue
+                pr_cfg = self.detector.config
+                if (self.detections and
+                        key - self.detections[-1][1]
+                        < pr_cfg.min_keys_between_detections):
+                    continue
+                self._inject_detection(det, key)
 
     def _inject_detection(self, det, key: int) -> None:
         """Verify one detection and add it as a loop closure."""
@@ -1564,9 +1567,11 @@ class OnlineRunner:
             se3.compose(jnp.asarray(rz),
                         se3.inverse(jnp.asarray(pair[1])))))
         if pr_cfg.verify_with_icp and self.archive is not None:
-            ok, mean_err, frac, _ = np.asarray(verify_closure(
-                self.state, self.archive, jnp.int32(det.key),
-                jnp.int32(key), jnp.asarray(w_T_a_b), self.config))
+            from laser_slam_tpu.core import benchmarker as _bench
+            with _bench.scoped_timer('online.verify_closure'):
+                ok, mean_err, frac, _ = np.asarray(verify_closure(
+                    self.state, self.archive, jnp.int32(det.key),
+                    jnp.int32(key), jnp.asarray(w_T_a_b), self.config))
             if not (ok > 0.5 and frac >= pr_cfg.min_inlier_fraction
                     and mean_err <= pr_cfg.max_mean_residual_m):
                 self.rejected_detections.append(
@@ -1635,9 +1640,15 @@ class OnlineRunner:
             # laser_slam_worker.cpp:522-540).
             old_lasts = self.state.traj_poses[
                 jnp.maximum(self.state.track_last_key, 0)]
+        from laser_slam_tpu.core import benchmarker as _bench
         cache = self._lc_solver_cache()
         refined = (self.archive is not None
                    and self.config.do_icp_step_on_loop_closures)
+        _lc_timer = _bench.scoped_timer('online.lc_solve_dispatch')
+        _lc_timer.__enter__()
+        # (closed by the matching __exit__ below; the dispatch calls
+        # between them don't raise in normal operation and the timer is
+        # diagnostics-only, so a try/finally indent isn't warranted)
         if cache is not None and refined:
             self.state, self._solver_cache, _ = (
                 online_loop_closure_refined_cached(
@@ -1665,6 +1676,7 @@ class OnlineRunner:
                 jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
                 remove_prior_slot=jnp.int32(remove_slot),
                 use_association=use_assoc)
+        _lc_timer.__exit__(None, None, None)
         if self.mapper is not None:
             # Re-rigidify each track's device map by that track's own
             # (new_last * old_last^-1) (updateLocalMap,
@@ -1746,11 +1758,13 @@ class OnlineRunner:
         if (self._solver_cache is None
                 or self._n_rel_host - self._cache_rel_count
                 > max(s.cache_rebuild_after, 0)):
-            pose_mask = (jnp.arange(self.state.traj_poses.shape[0])
-                         < self.state.n_poses)
-            self._solver_cache = sv.build_cache(
-                _graph_view(self.state), self.state.traj_poses, pose_mask,
-                s)
+            from laser_slam_tpu.core import benchmarker as _bench
+            with _bench.scoped_timer('online.lc_cache_build'):
+                pose_mask = (jnp.arange(self.state.traj_poses.shape[0])
+                             < self.state.n_poses)
+                self._solver_cache = sv.build_cache(
+                    _graph_view(self.state), self.state.traj_poses,
+                    pose_mask, s)
             self._cache_rel_count = self._n_rel_host
         return self._solver_cache
 

@@ -116,6 +116,56 @@ def _marginal_ms(stage, args, k_lo: int = 4, k_hi: int = 36,
 marginal_ms = _marginal_ms
 
 
+def full_step_device_ms(runner, points: np.ndarray,
+                        odom_pose7: np.ndarray, reps: int = 5) -> float:
+    """Device ms of ONE fused online step on a WARMED runner — the
+    transport-independent e2e number (round-4 verdict ask #1c).
+
+    Chains K genuinely data-dependent online_step calls (each feeds its
+    state into the next) inside one jitted fori_loop at two chain
+    lengths and reports the marginal — the per-dispatch host/transport
+    floor cancels, so the number is comparable across rounds regardless
+    of tunnel weather.  ``1e3 / result`` is the device-bound scans/s
+    ceiling of the per-scan path at this density."""
+    from laser_slam_tpu.ops import cloud as pc
+    from laser_slam_tpu.pipeline import online
+
+    cfg = runner.config
+    scan_cap = cfg.laser_track.input_filters.scan_capacity
+    pts_np = np.full((scan_cap, 3), pc.SENTINEL, np.float32)
+    n = min(len(points), scan_cap)
+    pts_np[:n] = np.asarray(points, np.float32)[:n]
+    dev_pts = jax.device_put(pts_np)
+    n_valid = jnp.int32(n)
+    od = jax.device_put(np.asarray(odom_pose7, np.float32))
+    tid = jnp.int32(0)
+    odometry_free = not getattr(runner, 'use_odometry', True)
+    k_lo, k_hi = (2, 10) if reps <= 2 else (4, 36)
+
+    @jax.jit
+    def full_chain(K, st):
+        def body(i, st):
+            st2, _ = online.online_step(
+                st, dev_pts + jnp.float32(1e-6) * (i + 1), n_valid, od,
+                cfg, tid, odometry_free=odometry_free)
+            return st2
+        return jax.lax.fori_loop(0, K, body, st).traj_poses
+
+    jax.block_until_ready(
+        full_chain(jnp.int32(k_lo), jax.tree.map(jnp.array, runner.state)))
+    tt = {}
+    for K in (k_lo, k_hi):
+        ts = []
+        for _ in range(reps):
+            st_copy = jax.tree.map(jnp.array, runner.state)
+            jax.block_until_ready(st_copy)
+            t0 = time.perf_counter()
+            jax.block_until_ready(full_chain(jnp.int32(K), st_copy))
+            ts.append(time.perf_counter() - t0)
+        tt[K] = float(np.median(ts))
+    return max(tt[k_hi] - tt[k_lo], 0.0) / (k_hi - k_lo) * 1e3
+
+
 def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
                    ranges_u16: Optional[np.ndarray] = None,
                    reps: int = 5) -> Dict[str, float]:
@@ -152,40 +202,13 @@ def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
 
     # Full fused step: a genuinely chained loop — each iteration feeds
     # its state into the next (real data dependence, nothing hoistable),
-    # exactly what the live per-scan path does.  Chain lengths are kept
-    # small enough that pose capacity isn't approached.
+    # exactly what the live per-scan path does (see full_step_device_ms;
+    # it matches the runner's online_step avals exactly — jnp.int32
+    # track_id, same odometry_free flag — so the inner-jit trace cache
+    # serves the jaxpr the warm runner already traced).
     k_lo, k_hi = (2, 10) if reps <= 2 else (4, 36)
-
-    # Match the runner's online_step avals EXACTLY (jnp.int32 track_id,
-    # not python 0 — weak-typed ints are a different aval — and the same
-    # odometry_free flag): the inner-jit trace cache then serves the
-    # jaxpr the warm runner already traced, instead of paying a fresh
-    # ~40 s+ retrace of the whole step under this loop.
-    tid = jnp.int32(0)
-    odometry_free = not getattr(runner, 'use_odometry', True)
-
-    @jax.jit
-    def full_chain(K, st):
-        def body(i, st):
-            st2, _ = online.online_step(
-                st, dev_pts + jnp.float32(1e-6) * (i + 1), n_valid, od,
-                cfg, tid, odometry_free=odometry_free)
-            return st2
-        return jax.lax.fori_loop(0, K, body, st).traj_poses
-    jax.block_until_ready(
-        full_chain(jnp.int32(k_lo), jax.tree.map(jnp.array, state)))
-    tt = {}
-    for K in (k_lo, k_hi):
-        ts = []
-        for _ in range(reps):
-            st_copy = jax.tree.map(jnp.array, state)
-            jax.block_until_ready(st_copy)
-            t0 = time.perf_counter()
-            jax.block_until_ready(full_chain(jnp.int32(K), st_copy))
-            ts.append(time.perf_counter() - t0)
-        tt[K] = float(np.median(ts))
     out['full_step'] = round(
-        max(tt[k_hi] - tt[k_lo], 0.0) / (k_hi - k_lo) * 1e3, 2)
+        full_step_device_ms(runner, points, odom_pose7, reps=reps), 2)
 
     if ranges_u16 is not None and runner._beam_table is not None:
         from laser_slam_tpu.ops import spherical
@@ -268,6 +291,36 @@ def step_breakdown(runner, points: np.ndarray, odom_pose7: np.ndarray,
                                                  cfg)[0])
     out['window_solve'] = round(_marginal_ms(ws, (state,), k_lo, k_hi,
                                              reps=reps), 2)
+
+    # Place-recognition cadence stage (runs inside online_chunk when a
+    # detector is attached, online.py's pr_kw path): descriptor build
+    # from the stored scan + the full-database query einsum.  Timed at
+    # the runner's OWN detector db size when one is attached, else at a
+    # representative 4096-entry database — this is the per-scan device
+    # cost the flagship PR configuration adds on top of ``full_step``.
+    pr_cfg = getattr(getattr(runner, 'detector', None), 'config', None)
+    if pr_cfg is None:
+        from laser_slam_tpu.config import PlaceRecognitionConfig
+        pr_cfg = PlaceRecognitionConfig()
+    from laser_slam_tpu.ops import scan_context as sc
+    det = getattr(runner, 'detector', None)
+    if det is not None and det.db.shape[0] > 1:
+        db, dbk = det.db, det.db_keys
+    else:
+        db = jnp.zeros((4096, pr_cfg.n_rings, pr_cfg.n_sectors),
+                       jnp.float32)
+        dbk = jnp.arange(4096, dtype=jnp.int32)
+    sp = state.ring_points[0, -1]
+    sm = state.ring_mask[0, -1]
+
+    def pr_stage(pts, msk):
+        desc, dist, shift = sc.descriptor_and_query(
+            db, dbk, pts, msk, jnp.int32(db.shape[0]),
+            n_rings=pr_cfg.n_rings, n_sectors=pr_cfg.n_sectors,
+            max_radius_m=pr_cfg.max_radius_m, z_offset_m=pr_cfg.z_offset_m)
+        return dist
+    out['pr_query'] = round(_marginal_ms(pr_stage, (sp, sm), k_lo, k_hi,
+                                         reps=reps), 2)
     return out
 
 

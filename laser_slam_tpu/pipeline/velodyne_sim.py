@@ -39,6 +39,24 @@ class BeamScene:
     wall_height: float               # walls span z in [0, wall_height]
     boxes: np.ndarray                # [K,2,3] AABB (min, max) corners
     ground_z: float = 0.0
+    # Sloped (non-planar) terrain: ground plane z = ground_z + sx*x +
+    # sy*y.  The reference's ICP stack makes no flat-world assumption
+    # (point-to-plane uses per-point normals), but a flat simulator never
+    # exercises roll/pitch observability — this does.
+    ground_slope: tuple = (0.0, 0.0)
+    # Dynamic objects: per-box velocity [K,3] m/scan.  Moving surfaces
+    # violate the static-world assumption behind scan-to-submap ICP
+    # (laser_track.cpp:466-519 registers against past scans as if rigid);
+    # the trimmed-distance outlier stage is what absorbs them.  None =
+    # static scene.  BeamStream shifts box AABBs by i*velocity at scan i.
+    box_velocity: Optional[np.ndarray] = None
+
+    def at_scan(self, i: int) -> 'BeamScene':
+        """Scene snapshot at scan index ``i`` (applies box velocities)."""
+        if self.box_velocity is None or i == 0:
+            return self
+        shifted = self.boxes + i * self.box_velocity[:, None, :]
+        return dataclasses.replace(self, boxes=shifted)
 
 
 def make_beam_scene(seed: int = 0, world_size_m: float = 60.0,
@@ -108,6 +126,47 @@ def make_repeated_rooms_scene(n_rooms: int = 4,
                      boxes=np.concatenate(rooms, axis=0))
 
 
+def make_dynamic_scene(seed: int = 0, world_size_m: float = 80.0,
+                       n_static: int = 12, n_moving: int = 6,
+                       speed_m_per_scan: float = 0.35) -> BeamScene:
+    """Static box room + ``n_moving`` boxes translating every scan
+    (vehicles/pedestrians crossing the mapped area).  Moving surfaces
+    land in the submap at stale positions, so their correspondences are
+    wrong by up to speed*nscan_in_sub_map metres — the trimmed-distance
+    outlier stage (icp_default.yaml ratio 0.75 parity) must reject them
+    for the trajectory to stay bounded (tests/test_adversarial.py)."""
+    base = make_beam_scene(seed=seed, world_size_m=world_size_m,
+                           n_boxes=n_static + n_moving)
+    rng = np.random.default_rng(seed + 1)
+    vel = np.zeros((n_static + n_moving, 3))
+    ang = rng.uniform(0, 2 * np.pi, n_moving)
+    vel[n_static:, 0] = np.cos(ang) * speed_m_per_scan
+    vel[n_static:, 1] = np.sin(ang) * speed_m_per_scan
+    return dataclasses.replace(base, box_velocity=vel)
+
+
+def make_sloped_clutter_scene(seed: int = 0, world_size_m: float = 80.0,
+                              slope: tuple = (0.06, 0.03),
+                              n_boxes: int = 48) -> BeamScene:
+    """Non-planar terrain (6%/3% grade) + heavy clutter: boxes sit ON the
+    sloped ground (their z-extents follow the terrain at their center).
+    Exercises roll/pitch observability and high outlier-stage load — the
+    two axes the benign flat box-room never stresses."""
+    rng = np.random.default_rng(seed)
+    half = world_size_m / 2
+    centers = rng.uniform(-half * 0.7, half * 0.7, size=(n_boxes, 2))
+    half_extents = rng.uniform(0.4, 1.6, size=(n_boxes, 2))
+    heights = rng.uniform(0.8, 3.5, size=n_boxes)
+    ground = slope[0] * centers[:, 0] + slope[1] * centers[:, 1]
+    boxes = np.zeros((n_boxes, 2, 3), np.float64)
+    boxes[:, 0, :2] = centers - half_extents
+    boxes[:, 1, :2] = centers + half_extents
+    boxes[:, 0, 2] = ground - 0.5          # sink into the slope
+    boxes[:, 1, 2] = ground + heights
+    return BeamScene(half_size=half, wall_height=10.0, boxes=boxes,
+                     ground_slope=slope)
+
+
 def _raycast(scene: BeamScene, origin: np.ndarray,
              dirs: np.ndarray) -> np.ndarray:
     """Nearest-intersection distances [R] for world-frame rays (inf=miss)."""
@@ -118,10 +177,18 @@ def _raycast(scene: BeamScene, origin: np.ndarray,
     eps = 1e-9
     half, zh = scene.half_size, scene.wall_height
 
-    # Ground plane z = ground_z (hit from above only).
+    # Ground plane z = ground_z + sx*x + sy*y (flat when slope is zero).
     dz = d[:, 2]
-    tg = np.where(dz < -eps, (scene.ground_z - o[2]) / np.minimum(dz, -eps),
-                  np.inf)
+    sx, sy = scene.ground_slope
+    if sx == 0.0 and sy == 0.0:
+        tg = np.where(dz < -eps,
+                      (scene.ground_z - o[2]) / np.minimum(dz, -eps),
+                      np.inf)
+    else:
+        denom = dz - sx * d[:, 0] - sy * d[:, 1]
+        num = scene.ground_z + sx * o[0] + sy * o[1] - o[2]
+        tg = np.where(np.abs(denom) > eps, num / denom, np.inf)
+        tg = np.where(tg > 0, tg, np.inf)
     hit = (tg > 0) & np.isfinite(tg)
     xy = o[None, :2] + tg[:, None] * d[:, :2]
     hit &= (np.abs(xy) <= half).all(axis=1)
@@ -331,18 +398,25 @@ class BeamStream:
                          np.float32)
         else:
             raise ValueError(self.trajectory)
+        # Terrain-following height on sloped ground (sensor stays
+        # upright; the scan geometry sees the full roll/pitch-exciting
+        # slope either way).
+        sx, sy = self.scene.ground_slope
+        if sx != 0.0 or sy != 0.0:
+            t[2] += self.scene.ground_z + sx * t[0] + sy * t[1]
         return np.concatenate([q, t]).astype(np.float32)
 
-    def scan_at(self, pose7: np.ndarray) -> np.ndarray:
-        pts, hit = beam_scan(self.scene, pose7, self.elev_deg,
-                             self.n_azimuth,
+    def scan_at(self, pose7: np.ndarray, scan_index: int = 0) -> np.ndarray:
+        pts, hit = beam_scan(self.scene.at_scan(scan_index), pose7,
+                             self.elev_deg, self.n_azimuth,
                              range_noise_m=self.range_noise_m,
                              rng=self._rng)
         self.last_hit_rate = float(hit.mean())
         return pts
 
-    def _scan_with_ranges(self, pose7: np.ndarray):
-        pts, ranges = beam_scan_packed(self.scene, pose7, self.elev_deg,
+    def _scan_with_ranges(self, pose7: np.ndarray, scan_index: int = 0):
+        pts, ranges = beam_scan_packed(self.scene.at_scan(scan_index),
+                                       pose7, self.elev_deg,
                                        self.n_azimuth,
                                        range_noise_m=self.range_noise_m,
                                        rng=self._rng)
@@ -367,9 +441,9 @@ class BeamStream:
                 odom = _np_compose(odom, rel)
             prev_gt = gt
             if self.packed:
-                pts, ranges = self._scan_with_ranges(gt)
+                pts, ranges = self._scan_with_ranges(gt, scan_index=i)
             else:
-                pts, ranges = self.scan_at(gt), None
+                pts, ranges = self.scan_at(gt, scan_index=i), None
             yield ScanFrame(time_ns=i * self.period_ns,
                             odom_pose7=odom.astype(np.float32),
                             points=pts, gt_pose7=gt, range_words=ranges)

@@ -149,8 +149,8 @@ def test_extend_overflow_is_noop(rng):
     data2 = g.to_device()
     ext = sv.extend_cache(data2, poses, mask, cache, jnp.int32(idx), cfg)
     assert int(ext.n_used) == 3
-    np.testing.assert_array_equal(np.asarray(ext.chol),
-                                  np.asarray(cache.chol))
+    np.testing.assert_array_equal(np.asarray(ext.chol_inv),
+                                  np.asarray(cache.chol_inv))
     np.testing.assert_array_equal(np.asarray(ext.Ua), np.asarray(cache.Ua))
 
     # Solve still converges (the unpreconditioned factor costs PCG iters).
@@ -277,3 +277,71 @@ def test_marginal_covariance_cached_matches_oneshot(rng):
                                          cfg)
     np.testing.assert_allclose(np.asarray(got3), np.asarray(ref2),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_precond_init_matches_zero_init(rng):
+    """pcg_init='precond' (the direct-Woodbury fast path: x0 = M(b),
+    PCG exits once the start satisfies the tolerance) must reach the
+    same optimum as the classic zero start — the init only changes the
+    convergence path, never the fixed point."""
+    import dataclasses
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.05, rng=rng)
+    data = g.to_device()
+    cfg_pre = dataclasses.replace(CFG, pcg_init='precond')
+    res_zero = sv.solve(data, poses, mask, CFG)
+    res_pre = sv.solve(data, poses, mask, cfg_pre)
+    np.testing.assert_allclose(np.asarray(res_pre.poses)[:N],
+                               np.asarray(res_zero.poses)[:N], atol=1e-5)
+    # With a near-exact preconditioner the precond start needs FEWER
+    # iterations for the same tolerance.
+    assert int(res_pre.pcg_iterations) <= int(res_zero.pcg_iterations)
+    # Cached path too (incl. an extended cache with one new closure).
+    cache = sv.build_cache(data, poses, mask, cfg_pre)
+    idx = g.add_relative(3, N - 5, np.asarray(se3.compose(
+        se3.inverse(jnp.asarray(gt[3])), jnp.asarray(gt[N - 5]))), SIG)
+    data2 = g.to_device()
+    ext = sv.extend_cache(data2, poses, mask, cache, jnp.int32(idx),
+                          cfg_pre)
+    ref2 = sv.solve(data2, poses, mask, CFG)
+    got2 = sv.solve_cached(data2, poses, mask, ext, cfg_pre)
+    np.testing.assert_allclose(np.asarray(got2.poses)[:N],
+                               np.asarray(ref2.poses)[:N], atol=1e-5)
+
+
+def test_precond_init_marginals_match(rng):
+    """Covariance probes with the precond start match the zero start."""
+    import dataclasses
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.02, rng=rng)
+    data = g.to_device()
+    cfg = SolverConfig(gn_iterations=1, pcg_iterations=128,
+                       pcg_tolerance=1e-9, preconditioner='woodbury',
+                       offchain_capacity=8)
+    cfg_pre = dataclasses.replace(cfg, pcg_init='precond')
+    keys = jnp.asarray([1, N // 2, N - 1], jnp.int32)
+    ref = sv.marginal_covariance(data, poses, mask, keys, cfg)
+    got = sv.marginal_covariance(data, poses, mask, keys, cfg_pre)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_compute_errors_flag(rng):
+    """compute_errors=False skips the two graph_error passes (returns
+    -1.0 sentinels) without changing the solved poses."""
+    import dataclasses
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.05, rng=rng)
+    data = g.to_device()
+    cfg_ne = dataclasses.replace(CFG, compute_errors=False)
+    res = sv.solve(data, poses, mask, CFG)
+    res_ne = sv.solve(data, poses, mask, cfg_ne)
+    np.testing.assert_allclose(np.asarray(res_ne.poses)[:N],
+                               np.asarray(res.poses)[:N], atol=1e-6)
+    assert float(res_ne.error_initial) == -1.0
+    assert float(res_ne.error_final) == -1.0
+    cache = sv.build_cache(data, poses, mask, cfg_ne)
+    res_c = sv.solve_cached(data, poses, mask, cache, cfg_ne)
+    np.testing.assert_allclose(np.asarray(res_c.poses)[:N],
+                               np.asarray(res.poses)[:N], atol=1e-5)
+    assert float(res_c.error_final) == -1.0

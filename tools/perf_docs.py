@@ -85,9 +85,13 @@ def render_readme(m, src_name='bench'):
         row('End-to-end online SLAM, 16k-pt 64-beam scans', t)
     if g('tpu_e2e_kitti_density_scans_per_sec'):
         t = f"{fmt(g('tpu_e2e_kitti_density_scans_per_sec'), 0)} scans/s per-scan dispatch"
-        if g('tpu_e2e_kitti_scans_per_sec_min'):
-            t += (f" (median of 5 runs, {fmt(g('tpu_e2e_kitti_scans_per_sec_min'), 0)}"
-                  f"-{fmt(g('tpu_e2e_kitti_scans_per_sec_max'), 0)} spread)")
+        kmin = (g('tpu_e2e_kitti_density_scans_per_sec_min')
+                or g('tpu_e2e_kitti_scans_per_sec_min'))
+        kmax = (g('tpu_e2e_kitti_density_scans_per_sec_max')
+                or g('tpu_e2e_kitti_scans_per_sec_max'))
+        if kmin:
+            t += (f" (median of 5 runs, {fmt(kmin, 0)}"
+                  f"-{fmt(kmax, 0)} spread)")
         if g('tpu_e2e_kitti_chunked_scans_per_sec'):
             t = (f"**{fmt(g('tpu_e2e_kitti_chunked_scans_per_sec'), 0)}** scans/s chunked / "
                  + t)
@@ -104,6 +108,23 @@ def render_readme(m, src_name='bench'):
         if vs_p:
             t += f" ({fmt(vs_p, 0)}x CPU e2e)"
         row('KITTI density, packed uint16 ingest (sensor-native 2 B/pt)', t)
+    if g('tpu_e2e_kitti_device_ms_per_scan'):
+        t = (f"**{fmt(g('tpu_e2e_kitti_device_ms_per_scan'), 1)} ms/scan**"
+             f" KITTI ({fmt(g('tpu_e2e_kitti_device_scans_per_sec'), 0)} scans/s"
+             ' device-bound)')
+        if g('tpu_e2e_beam16k_device_ms_per_scan'):
+            t += (f" / {fmt(g('tpu_e2e_beam16k_device_ms_per_scan'), 1)} ms at 16k"
+                  f" ({fmt(g('tpu_e2e_beam16k_device_scans_per_sec'), 0)} scans/s)")
+        row('E2e device time per scan (chained-marginal, transport-free)', t)
+    if g('tpu_e2e_multirobot_scans_per_sec'):
+        t = f"{fmt(g('tpu_e2e_multirobot_scans_per_sec'), 0)} scans/s interleaved"
+        if g('tpu_e2e_multirobot_chunked_scans_per_sec'):
+            t = (f"**{fmt(g('tpu_e2e_multirobot_chunked_scans_per_sec'), 0)}**"
+                 ' scans/s chunked / ' + t)
+        if g('tpu_multirobot_link_closure_ms'):
+            t += (f"; linking closure {fmt(g('tpu_multirobot_link_closure_ms'), 0)} ms,"
+                  f" linked ATE {fmt((g('tpu_multirobot_linked_ate_m') or 0) * 100, 0)} cm")
+        row('Multi-robot e2e: 2 tracks, one shared graph (16k scans)', t)
     if g('tpu_e2e_kitti_pr_scans_per_sec'):
         t = f"**{fmt(g('tpu_e2e_kitti_pr_scans_per_sec'), 0)}** scans/s at KITTI density"
         if g('tpu_e2e_beam16k_pr_scans_per_sec'):
@@ -128,6 +149,10 @@ def render_readme(m, src_name='bench'):
         if g('tpu_gn_solve_10k_incremental_device_ms') is not None:
             t += (f" / **{fmt(g('tpu_gn_solve_10k_incremental_device_ms'), 1)} ms**"
                   ' incremental device (dispatch-floor-free)')
+        if g('tpu_closure_burst_amortized_ms') is not None:
+            t += (f"; closure burst {fmt(g('tpu_closure_burst_amortized_ms'), 1)}"
+                  f" ms/closure amortized over {g('tpu_closure_burst_k') or 8}"
+                  ' incl. one cache build')
         row('10k-pose graph solve, perturbed init (PCG, converged)', t)
     if g('tpu_marginal_cov_10k_8keys_ms'):
         t = (f"{fmt(g('tpu_marginal_cov_10k_ms_per_key'), 1)} ms/key cold"
@@ -239,6 +264,15 @@ def render_claude(m, src_name='bench'):
                      f" KITTI / {fmt(g('tpu_e2e_beam16k_pr_scans_per_sec') or 0, 0)}"
                      f" at 16k; {g('tpu_e2e_kitti_pr_detections')} verified"
                      ' closures in-window.')
+    if g('tpu_e2e_kitti_device_ms_per_scan'):
+        lines.append(f"- Device-bound e2e (transport-free):"
+                     f" {fmt(g('tpu_e2e_kitti_device_ms_per_scan'), 1)} ms/scan"
+                     f" KITTI / {fmt(g('tpu_e2e_beam16k_device_ms_per_scan') or 0, 1)} ms at 16k.")
+    if g('tpu_e2e_multirobot_scans_per_sec'):
+        lines.append(f"- Multi-robot (2 tracks, shared graph):"
+                     f" {fmt(g('tpu_e2e_multirobot_scans_per_sec'), 0)} scans/s"
+                     f" ({fmt(g('tpu_e2e_multirobot_chunked_scans_per_sec') or 0, 0)} chunked);"
+                     f" linked ATE {fmt((g('tpu_multirobot_linked_ate_m') or 0) * 100, 0)} cm.")
     if g('tpu_gn_solve_10k_cold_ms'):
         dev = (f" ({fmt(g('tpu_gn_solve_10k_incremental_device_ms'), 1)} ms device)"
                if g('tpu_gn_solve_10k_incremental_device_ms') is not None

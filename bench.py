@@ -1059,7 +1059,7 @@ def main():
     extras['vs_cpu_e2e_multirobot'] = round(
         extras['tpu_e2e_multirobot_scans_per_sec'] / cpu_e2e_16k, 1)
     leg('tpu_e2e_multirobot_chunked_scans_per_sec',
-        lambda: run_mr(chunk=8))
+        lambda: run_mr(chunk=4 if SMOKE else 8))
 
     # Rendezvous linking closure on the median per-scan run: the
     # closest ground-truth co-location between the two tracks.
@@ -1077,6 +1077,9 @@ def main():
         jnp.asarray(poses_mr[ka_mr]),
         se3.compose(rel_true,
                         se3.inverse(jnp.asarray(poses_mr[kb_mr])))))
+    # Pre-compile the cross-track closure program (use_association=True
+    # variant) so the timed injection measures the solve, not the jit.
+    r_mr.warmup_closure_path(use_association=True)
     t0 = time.perf_counter()
     assert r_mr.add_loop_closure(ka_mr, kb_mr, w_T_a_b)
     jax.block_until_ready(r_mr.state.traj_poses)

@@ -66,6 +66,7 @@ _COMPACT_PRIORITY = [
     'tpu_gn_solve_10k_cold_ms', 'tpu_gn_solve_10k_warm_nocache_ms',
     'tpu_gn_solve_10k_cache_build_ms', 'tpu_gn_solve_10k_incremental_ms',
     'tpu_gn_solve_10k_incremental_device_ms',
+    'tpu_gn_solve_10k_delta_device_ms',
     'tpu_closure_burst_amortized_ms',
     'tpu_marginal_cov_10k_ms_per_key', 'tpu_marginal_cov_cached_ms_per_key',
     # transport-independent device e2e (comparable across rounds)
@@ -590,6 +591,29 @@ def main():
     extras['tpu_gn_solve_10k_incremental_device_ms'] = round(
         prof.marginal_ms(inc_stage, (warm_sets[0], cache), k_lo=2,
                          k_hi=10, reps=2 if SMOKE else 3), 2)
+
+    # Relinearize-skip delta solve (solver.solve_closure_cached): the
+    # iSAM2 relinearizeThreshold analogue — absorb the new factor
+    # (rank-6) and solve H delta = -g_newfactor against the cached
+    # factorization with stale-exact Richardson refinement.  No O(F)
+    # linearize, no matvec build, no PCG vector chain.
+    scfg_delta = dc_replace(scfg_inc, compute_errors=False)
+
+    def inc_delta(w, c):
+        c2, res = sv.solve_closure_cached(data2, w, jmask, c, fidx,
+                                          scfg_delta)
+        return res.poses
+
+    extras['tpu_gn_solve_10k_delta_device_ms'] = round(
+        prof.marginal_ms(inc_delta, (warm_sets[0], cache), k_lo=2,
+                         k_hi=10, reps=2 if SMOKE else 3), 2)
+    # Accuracy of the delta step vs the full cached solve, same state.
+    _, out_d = sv.solve_closure_cached(data2, warm_sets[0], jmask, cache,
+                                       fidx, scfg_inc)
+    extras['tpu_gn_solve_delta_error'] = round(float(out_d.error_final), 2)
+    extras['tpu_gn_solve_delta_vs_full_m'] = round(float(jnp.max(
+        jnp.linalg.norm(out_d.poses[:NP_, 4:]
+                        - outs2c[0].poses[:NP_, 4:], axis=-1))), 4)
 
     # Closure-burst amortization (round-4 verdict weak #6: on a
     # closure-dense segment the cached path degenerates toward cold-solve

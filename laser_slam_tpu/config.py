@@ -300,6 +300,21 @@ class SolverConfig:
     # fast path the two passes are a measurable share of the fixed
     # per-call cost; False returns -1.0 for both.
     compute_errors: bool = True
+    # Richardson refinement steps in the relinearize-skip delta solve
+    # (solver.solve_closure_cached): each step contracts the residual by
+    # the preconditioner's f32 conditioning floor (~0.16 at 10k poses),
+    # so 3 steps ~ 4e-3 relative — comparable to the PCG-tolerance path
+    # at a fraction of the launches.
+    delta_refine: int = 3
+    # How the online cached loop-closure injection solves
+    # (online._append_lc_and_solve_cached):
+    #   'full'   extend_cache + solve_cached — full-graph GN step with
+    #            fresh linearization (reference-parity safe default).
+    #   'delta'  solver.solve_closure_cached — the relinearize-skip
+    #            delta solve (new-factor gradient only, stale-exact
+    #            refinement); a fraction of the launches, first-order
+    #            identical at a warm start.
+    closure_solve: str = 'full'
     # Cached-preconditioner staleness bound (OnlineRunner loop-closure
     # solves): once this many factors have been appended since the
     # WoodburyCache was built, the next full solve rebuilds it instead of

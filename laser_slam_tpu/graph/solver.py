@@ -642,6 +642,15 @@ class WoodburyCache(NamedTuple):
     kb: jax.Array        # [L]
     chol_inv: jax.Array  # [K,K] INVERSE lower Cholesky of the capacitance
     n_used: jax.Array    # int32: occupied slots (append cursor)
+    # Stale-but-exact Hessian at the build point, for the relinearize-
+    # skip delta solve (solve_closure_cached): UNBOOSTED chain blocks
+    # (T_B diagonal, T_A sub-diagonal — T0 excluding the selected
+    # off-chain factors, including damping + frozen identity rows) and
+    # the squared column norms cn2 [L,6] that unscale Utilde back to
+    # U U^T (H = T + Utilde diag(cn2) Utilde^T exactly, at build poses).
+    T_B: jax.Array       # [N,6,6]
+    T_A: jax.Array       # [N,6,6]
+    cn2: jax.Array       # [L,6]
 
 
 def _build_woodbury_cache(lin: _LinearizedGraph, damping,
@@ -652,6 +661,9 @@ def _build_woodbury_cache(lin: _LinearizedGraph, damping,
     # its diagonal in T0 — graceful degradation to 'tridiagonal'.
     w_scale = jnp.ones_like(lin.w_rel).at[sel].set(
         jnp.where(valid, 0.0, 1.0), mode='drop')
+    # Unboosted chain blocks first (the stale-exact H for the delta
+    # solve), then the boosted copy for the cyclic-reduction factors.
+    T_B, T_A = _build_tridiag(lin, damping, w_scale=w_scale, boost=False)
     factors = _tridiag_factor(*_build_tridiag(lin, damping,
                                               w_scale=w_scale))
     Ua, Ub, ka, kb = _offchain_blocks(lin, sel, valid)
@@ -696,8 +708,10 @@ def _build_woodbury_cache(lin: _LinearizedGraph, damping,
     chol_inv = jax.scipy.linalg.solve_triangular(
         chol, jnp.eye(K, dtype=C.dtype), lower=True)
     n_used = jnp.sum(valid.astype(jnp.int32))
+    cn2 = jnp.where(cn > 1e-20, cn * cn, 0.0)
     return WoodburyCache(factors=factors, Ua=Ua, Ub=Ub, ka=ka, kb=kb,
-                         chol_inv=chol_inv, n_used=n_used)
+                         chol_inv=chol_inv, n_used=n_used,
+                         T_B=T_B, T_A=T_A, cn2=cn2)
 
 
 def _apply_from_cache(cache: WoodburyCache):
@@ -1003,6 +1017,31 @@ def build_cache(graph: FactorGraphData, poses, pose_mask,
     return _build_woodbury_cache(lin, jnp.float32(config.damping), config)
 
 
+def _linearize_one_rel(graph: FactorGraphData, poses, pose_mask,
+                       factor_idx, config: SolverConfig):
+    """Whitened, weighted, free-gated linearization of ONE relative
+    factor (shared by extend_cache and solve_closure_cached).  Returns
+    (r_w, Ja_w, Jb_w, w, ka, kb, free)."""
+    n = poses.shape[0]
+    ka_n = graph.rel_keys[factor_idx, 0]
+    kb_n = graph.rel_keys[factor_idx, 1]
+    r, Ja, Jb = _rel_linearize_analytic(poses[ka_n][None], poses[kb_n][None],
+                                        graph.rel_meas[factor_idx][None])
+    s_info = graph.rel_sqrt_info[factor_idx]
+    r_w = r[0] * s_info
+    Ja_w = Ja[0] * s_info[:, None]
+    Jb_w = Jb[0] * s_info[:, None]
+    w = graph.rel_weight[factor_idx] * _cauchy_weight(
+        r_w, graph.rel_robust[factor_idx], config.cauchy_k)
+    Ja_w = jnp.where(graph.rel_fixed_a[factor_idx], 0.0, Ja_w)
+
+    gauge = jnp.any(graph.prior_sqrt_info > GAUGE_FIX_THRESHOLD, axis=-1)
+    frozen = jnp.zeros((n,), bool).at[graph.prior_keys].max(
+        gauge & (graph.prior_weight > 0))
+    free = (pose_mask & ~frozen).astype(poses.dtype)
+    return r_w, Ja_w, Jb_w, w, ka_n, kb_n, free
+
+
 @partial(jax.jit, static_argnames=('config',))
 def extend_cache(graph: FactorGraphData, poses, pose_mask,
                  cache: WoodburyCache, factor_idx,
@@ -1029,24 +1068,8 @@ def extend_cache(graph: FactorGraphData, poses, pose_mask,
     L_cap = cache.Ua.shape[0]
     K = 6 * L_cap
 
-    # --- Linearize just the new factor (whitened, weighted, free-gated).
-    ka_n = graph.rel_keys[factor_idx, 0]
-    kb_n = graph.rel_keys[factor_idx, 1]
-    r, Ja, Jb = _rel_linearize_analytic(poses[ka_n][None], poses[kb_n][None],
-                                        graph.rel_meas[factor_idx][None])
-    s_info = graph.rel_sqrt_info[factor_idx]
-    r_w = r[0] * s_info
-    Ja_w = Ja[0] * s_info[:, None]
-    Jb_w = Jb[0] * s_info[:, None]
-    w = graph.rel_weight[factor_idx] * _cauchy_weight(
-        r_w, graph.rel_robust[factor_idx], config.cauchy_k)
-    Ja_w = jnp.where(graph.rel_fixed_a[factor_idx], 0.0, Ja_w)
-
-    gauge = jnp.any(graph.prior_sqrt_info > GAUGE_FIX_THRESHOLD, axis=-1)
-    frozen = jnp.zeros((n,), bool).at[graph.prior_keys].max(
-        gauge & (graph.prior_weight > 0))
-    free = (pose_mask & ~frozen).astype(poses.dtype)
-
+    (r_w, Ja_w, Jb_w, w, ka_n, kb_n, free) = _linearize_one_rel(
+        graph, poses, pose_mask, factor_idx, config)
     sw = jnp.sqrt(w)
     Ua_n = Ja_w.T * sw * free[ka_n]              # [6(state),6(col)]
     Ub_n = Jb_w.T * sw * free[kb_n]
@@ -1094,6 +1117,8 @@ def extend_cache(graph: FactorGraphData, poses, pose_mask,
     row = jnp.where(full, old_row, row)
     ka_w = jnp.where(full, cache.ka[slot], ka_n.astype(cache.ka.dtype))
     kb_w = jnp.where(full, cache.kb[slot], kb_n.astype(cache.kb.dtype))
+    cn2_n = jnp.where(full, cache.cn2[slot],
+                      jnp.where(cn > 1e-20, cn * cn, 0.0))
     return WoodburyCache(
         factors=cache.factors,
         Ua=jax.lax.dynamic_update_slice(cache.Ua, Ua_n[None], (slot, 0, 0)),
@@ -1103,7 +1128,95 @@ def extend_cache(graph: FactorGraphData, poses, pose_mask,
         chol_inv=jax.lax.dynamic_update_slice(cache.chol_inv, row,
                                               (6 * slot, 0)),
         n_used=jnp.where(full, cache.n_used, cache.n_used + 1),
+        T_B=cache.T_B, T_A=cache.T_A,
+        cn2=jax.lax.dynamic_update_slice(cache.cn2, cn2_n[None], (slot, 0)),
     )
+
+
+def _stale_matvec(cache: WoodburyCache):
+    """y = H_build x from the cache alone: the exact Hessian AT THE
+    CACHE'S BUILD POINT — unboosted chain blocks plus the unscaled
+    low-rank part (H = T + Utilde diag(cn2) Utilde^T).  No graph access,
+    no linearization: three batched [N,6,6] contractions + the compact
+    off-chain term."""
+    B, A = cache.T_B, cache.T_A
+    zero = jnp.zeros((1, 6, 6), B.dtype)
+    A_up = jnp.concatenate([jnp.swapaxes(A[1:], -1, -2), zero])
+    Ua, Ub, ka, kb, cn2 = cache.Ua, cache.Ub, cache.ka, cache.kb, cache.cn2
+
+    def mv(x):
+        zrow = jnp.zeros((1, 6), x.dtype)
+        x_prev = jnp.concatenate([zrow, x[:-1]])
+        x_next = jnp.concatenate([x[1:], zrow])
+        y = (jnp.einsum('nij,nj->ni', B, x)
+             + jnp.einsum('nij,nj->ni', A, x_prev)
+             + jnp.einsum('nij,nj->ni', A_up, x_next))
+        t = (jnp.einsum('lsc,ls->lc', Ua, x[ka]) +
+             jnp.einsum('lsc,ls->lc', Ub, x[kb])) * cn2
+        y = y.at[ka].add(jnp.einsum('lsc,lc->ls', Ua, t))
+        y = y.at[kb].add(jnp.einsum('lsc,lc->ls', Ub, t))
+        return y
+
+    return mv
+
+
+@partial(jax.jit, static_argnames=('config',))
+def solve_closure_cached(graph: FactorGraphData, poses, pose_mask,
+                         cache: WoodburyCache, factor_idx,
+                         config: SolverConfig):
+    """Relinearize-skip incremental solve for ONE new loop closure — the
+    closest TPU analogue of what iSAM2's update() actually does with
+    relinearizeThreshold=0.001 (incremental_estimator.cpp:17-20): away
+    from the touched cliques nothing is relinearized; the update is a
+    backsolve against the existing factorization.
+
+    At a warm optimum the full gradient is ~zero everywhere except the
+    NEW factor, whose contribution is supported on its two pose keys.
+    So instead of the full-graph linearize + matvec build + PCG of
+    :func:`solve_cached`, this:
+
+      1. absorbs the factor into the cache (rank-6 extension),
+      2. builds g = J^T W r of the new factor alone (two 6-rows),
+      3. solves H delta = -g with the extended Woodbury apply plus
+         ``config.delta_refine`` Richardson refinements against the
+         cache's STALE-EXACT Hessian (:func:`_stale_matvec` — exact at
+         the cache build point, which IS the previous optimum), each
+         refinement contracting the residual by ~the preconditioner's
+         f32 conditioning floor (~0.16 measured at 10k poses),
+      4. retracts delta.
+
+    Cost: one rank-6 extension + (1 + delta_refine) preconditioner
+    applies + delta_refine stale matvecs — no O(F) work at all.
+    Accuracy: the fixed point is the stale-H Gauss-Newton step; at a
+    warm start the stale and fresh linearizations coincide to first
+    order (test_solve_closure_cached_matches_full).  Returns
+    (new_cache, SolveResult).
+    """
+    cache = extend_cache(graph, poses, pose_mask, cache, factor_idx,
+                         config)
+    (r_w, Ja_w, Jb_w, w, ka_n, kb_n, free) = _linearize_one_rel(
+        graph, poses, pose_mask, factor_idx, config)
+    n = poses.shape[0]
+    wr = r_w * w
+    g = jnp.zeros((n, 6), poses.dtype)
+    g = g.at[ka_n].add((Ja_w.T @ wr) * free[ka_n])
+    g = g.at[kb_n].add((Jb_w.T @ wr) * free[kb_n])
+    b = -g
+
+    apply_M = _apply_from_cache(cache)
+    mv = _stale_matvec(cache)
+    delta = apply_M(b)
+    for _ in range(max(int(config.delta_refine), 0)):
+        delta = delta + apply_M(b - mv(delta))
+    delta = jnp.nan_to_num(delta) * free[:, None]
+    new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
+    new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
+    e = (graph_error(graph, new_poses) if config.compute_errors
+         else jnp.float32(-1.0))
+    res = SolveResult(poses=new_poses, error_initial=jnp.float32(-1.0),
+                      error_final=e,
+                      pcg_iterations=jnp.int32(config.delta_refine))
+    return cache, res
 
 
 @partial(jax.jit, static_argnames=('config',))

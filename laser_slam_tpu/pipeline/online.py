@@ -605,10 +605,18 @@ def _append_lc_and_solve_cached(state: OnlineState, cache, key_a, key_b,
                                    remove_prior_slot, use_association)
     pose_mask = jnp.arange(state.traj_poses.shape[0]) < state.n_poses
     graph = _graph_view(state)
-    cache = sv.extend_cache(graph, state.traj_poses, pose_mask, cache,
-                            idx, config.solver)
-    result = sv.solve_cached(graph, state.traj_poses, pose_mask, cache,
-                             config.solver)
+    if config.solver.closure_solve == 'delta':
+        # Relinearize-skip fast path (solver.solve_closure_cached):
+        # absorbs the factor and solves H delta = -g_newfactor against
+        # the cached factorization — the iSAM2 relinearizeThreshold
+        # analogue, a fraction of the launches of the full GN step.
+        cache, result = sv.solve_closure_cached(
+            graph, state.traj_poses, pose_mask, cache, idx, config.solver)
+    else:
+        cache = sv.extend_cache(graph, state.traj_poses, pose_mask, cache,
+                                idx, config.solver)
+        result = sv.solve_cached(graph, state.traj_poses, pose_mask, cache,
+                                 config.solver)
     state = state._replace(traj_poses=result.poses,
                            last_error=result.error_final)
     info = StepInfo(key=key_b, icp_valid=jnp.bool_(True),

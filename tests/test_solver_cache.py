@@ -345,3 +345,41 @@ def test_compute_errors_flag(rng):
     np.testing.assert_allclose(np.asarray(res_c.poses)[:N],
                                np.asarray(res.poses)[:N], atol=1e-5)
     assert float(res_c.error_final) == -1.0
+
+
+def test_solve_closure_cached_matches_full(rng):
+    """The relinearize-skip delta solve (one new closure at a warm
+    optimum: g supported on two keys, delta = -H^-1 g via the extended
+    cache + Richardson refinement) must land within millimetres of the
+    full high-budget solve — the iSAM2 relinearizeThreshold analogue
+    (incremental_estimator.cpp:17-20)."""
+    import dataclasses
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.05, rng=rng)
+    data = g.to_device()
+    # Converge to the current optimum first (warm state).
+    warm = sv.solve(data, poses, mask, CFG).poses
+    cache = sv.build_cache(data, warm, mask, CFG)
+    # New closure with a measurement ~5 cm off the current estimate.
+    meas = se3.compose(se3.inverse(jnp.asarray(gt[5])),
+                       jnp.asarray(gt[N - 8]))
+    meas = np.asarray(meas).copy()
+    meas[4] += 0.05
+    idx = g.add_relative(5, N - 8, meas, SIG * 0.5)
+    data2 = g.to_device()
+
+    cfg_ref = dataclasses.replace(CFG, gn_iterations=4,
+                                  pcg_iterations=128, pcg_tolerance=1e-9)
+    ref = sv.solve(data2, warm, mask, cfg_ref)
+
+    cfg_d = dataclasses.replace(CFG, delta_refine=3)
+    cache2, out = sv.solve_closure_cached(data2, warm, mask, cache,
+                                          jnp.int32(idx), cfg_d)
+    dpos = np.linalg.norm(np.asarray(out.poses)[:N, 4:]
+                          - np.asarray(ref.poses)[:N, 4:], axis=1)
+    assert dpos.max() < 5e-3, dpos.max()
+    # The returned cache absorbed the factor (next solves reuse it).
+    assert int(cache2.n_used) == int(cache.n_used) + 1
+    # And the energy actually dropped vs not solving at all.
+    e_before = float(sv.graph_error(data2, warm))
+    assert float(out.error_final) < e_before

@@ -1136,10 +1136,13 @@ class OnlineRunner:
         global pose keys -> [K,6,6] numpy.
 
         When the runner holds a live Woodbury solver cache (woodbury
-        preconditioner + a past loop-closure solve), the probes reuse it
-        (solver.marginal_covariance_cached) and skip the chain
-        factorization + capacitance build that dominate the one-shot
-        call; staleness only costs PCG iterations, never accuracy."""
+        preconditioner + a past loop-closure solve), the probes run
+        ENTIRELY against it (solver.marginal_covariance_cached): zero
+        O(F) work per query.  The covariances are then those of the
+        graph as absorbed into the cache — closures are absorbed by
+        extend_cache as they land; odometry factors appended since the
+        last rebuild are not reflected until the cache_rebuild_after
+        cadence rebuilds (bounded drift, see the solver docstring)."""
         pose_mask = np.arange(self.state.traj_poses.shape[0]) < int(
             self.state.n_poses)
         if self._solver_cache is not None:

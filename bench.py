@@ -946,8 +946,14 @@ def main():
         pr = PlaceRecognitionConfig(detect_every=2, fetch_every=4,
                                     exclude_recent_keys=24,
                                     min_keys_between_detections=10)
+        # Closure injections ride the relinearize-skip delta solve
+        # (solver.solve_closure_cached) — round-5: the full cached GN
+        # re-solve per injection was a measurable share of the PR-on
+        # 16k gap; the delta step is first-order identical at the warm
+        # state the stream is always in.
         cfg = dc_replace(cfg, solver=dc_replace(
-            cfg.solver, preconditioner='woodbury'))
+            cfg.solver, preconditioner='woodbury', closure_solve='delta',
+            compute_errors=False))
         r = online.OnlineRunner(cfg, pose_capacity=2048,
                                 factor_capacity=8192, archive_points=2048,
                                 place_recognition=pr)
@@ -971,7 +977,12 @@ def main():
         r.flush_detections()
         jax.block_until_ready(r.state.traj_poses)
         rate = len(timed) / (time.perf_counter() - t0)
-        return rate, len(r.detections), len(r.rejected_detections)
+        traj = online.extract_trajectory(r.state)
+        errs = np.linalg.norm(
+            traj[:len(beam_frames), 4:]
+            - np.stack([f.gt_pose7[4:] for f in beam_frames]), axis=1)
+        return (rate, len(r.detections), len(r.rejected_detections),
+                float(errs.mean()))
 
     pr_streams = {}
     pr_streams['16k'] = list(vs.BeamStream(
@@ -1009,16 +1020,18 @@ def main():
         bench_reg.disable()
         return out
 
-    _, det16, rej16 = pr_leg('tpu_e2e_beam16k_pr', cfg16,
-                             pr_streams['16k'], n_warm=8)
+    _, det16, rej16, err16pr = pr_leg('tpu_e2e_beam16k_pr', cfg16,
+                                      pr_streams['16k'], n_warm=8)
     extras['tpu_e2e_beam16k_pr_detections'] = det16
     extras['tpu_e2e_beam16k_pr_rejected'] = rej16
+    extras['tpu_e2e_beam16k_pr_mean_err_m'] = round(err16pr, 3)
     extras['vs_cpu_e2e_16k_pr'] = round(
         extras['tpu_e2e_beam16k_pr_scans_per_sec'] / cpu_e2e_16k, 1)
-    _, detk, rejk = pr_leg('tpu_e2e_kitti_pr', cfgk, pr_streams['kitti'],
-                           n_warm=10)
+    _, detk, rejk, errkpr = pr_leg('tpu_e2e_kitti_pr', cfgk,
+                                   pr_streams['kitti'], n_warm=10)
     extras['tpu_e2e_kitti_pr_detections'] = detk
     extras['tpu_e2e_kitti_pr_rejected'] = rejk
+    extras['tpu_e2e_kitti_pr_mean_err_m'] = round(errkpr, 3)
     extras['vs_cpu_e2e_kitti_pr'] = round(
         extras['tpu_e2e_kitti_pr_scans_per_sec'] / cpu_e2e_kitti, 1)
 

@@ -310,10 +310,13 @@ class SolverConfig:
     # (online._append_lc_and_solve_cached):
     #   'full'   extend_cache + solve_cached — full-graph GN step with
     #            fresh linearization (reference-parity safe default).
-    #   'delta'  solver.solve_closure_cached — the relinearize-skip
-    #            delta solve (new-factor gradient only, stale-exact
-    #            refinement); a fraction of the launches, first-order
-    #            identical at a warm start.
+    #   'delta'  solver.solve_closure_cached — the reused-factorization
+    #            fast path (fresh gradients, cached Hessian model); a
+    #            fraction of the launches.  Contract: intended for
+    #            SMALL-correction closures at warm states (e.g. ICP-
+    #            refined detections); decimetre+ corrections converge
+    #            more slowly than full re-linearized GN — use 'full'
+    #            there, or follow a delta burst with refine().
     closure_solve: str = 'full'
     # Cached-preconditioner staleness bound (OnlineRunner loop-closure
     # solves): once this many factors have been appended since the

@@ -1170,52 +1170,75 @@ def solve_closure_cached(graph: FactorGraphData, poses, pose_mask,
     from the touched cliques nothing is relinearized; the update is a
     backsolve against the existing factorization.
 
-    At a warm optimum the full gradient is ~zero everywhere except the
-    NEW factor, whose contribution is supported on its two pose keys.
-    So instead of the full-graph linearize + matvec build + PCG of
-    :func:`solve_cached`, this:
+    Mirrors iSAM2's split between residuals and factorization: the
+    RESIDUALS (gradient) are always fresh, but the quadratic model is
+    the reused factorization.  Instead of the matvec build + PCG vector
+    chain of :func:`solve_cached`, this:
 
       1. absorbs the factor into the cache (rank-6 extension),
-      2. builds g = J^T W r of the new factor alone (two 6-rows),
+      2. linearizes residuals and builds the FULL fresh gradient (one
+         batched analytic pass, ~0.25 ms device at a 16k buffer — the
+         cheap part; it also absorbs any gradient accumulated by
+         earlier single-step closures),
       3. solves H delta = -g with the extended Woodbury apply plus
          ``config.delta_refine`` Richardson refinements against the
          cache's STALE-EXACT Hessian (:func:`_stale_matvec` — exact at
-         the cache build point, which IS the previous optimum), each
-         refinement contracting the residual by ~the preconditioner's
-         f32 conditioning floor (~0.16 measured at 10k poses),
-      4. retracts delta.
+         the cache build point), each refinement contracting the
+         residual by ~the preconditioner's f32 conditioning floor
+         (~0.16 measured at 10k poses),
+      4. retracts delta — and repeats 2-4 for up to
+         ``config.gn_iterations`` outer steps with the usual
+         ``gn_tolerance`` early-out (large closures need the fresh
+         re-linearization of the residuals; the Hessian model stays
+         cached throughout).
 
-    Cost: one rank-6 extension + (1 + delta_refine) preconditioner
-    applies + delta_refine stale matvecs — no O(F) work at all.
-    Accuracy: the fixed point is the stale-H Gauss-Newton step; at a
-    warm start the stale and fresh linearizations coincide to first
-    order (test_solve_closure_cached_matches_full).  Returns
+    Cost per outer step: one linearize/gradient pass +
+    (1 + delta_refine) preconditioner applies + delta_refine stale
+    matvecs — no chain build, no PCG dot-product chain; plus the one-
+    time rank-6 extension.  Accuracy: the fixed point (gradient zero)
+    is IDENTICAL to the full solve — only the step model is stale
+    (test_solve_closure_cached_matches_full).  Returns
     (new_cache, SolveResult).
     """
     cache = extend_cache(graph, poses, pose_mask, cache, factor_idx,
                          config)
-    (r_w, Ja_w, Jb_w, w, ka_n, kb_n, free) = _linearize_one_rel(
-        graph, poses, pose_mask, factor_idx, config)
-    n = poses.shape[0]
-    wr = r_w * w
-    g = jnp.zeros((n, 6), poses.dtype)
-    g = g.at[ka_n].add((Ja_w.T @ wr) * free[ka_n])
-    g = g.at[kb_n].add((Jb_w.T @ wr) * free[kb_n])
-    b = -g
-
     apply_M = _apply_from_cache(cache)
     mv = _stale_matvec(cache)
-    delta = apply_M(b)
-    for _ in range(max(int(config.delta_refine), 0)):
-        delta = delta + apply_M(b - mv(delta))
-    delta = jnp.nan_to_num(delta) * free[:, None]
-    new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
-    new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
+    gn_tol = config.gn_tolerance
+    n_active = jnp.maximum(jnp.sum(pose_mask.astype(jnp.float32)), 1.0)
+
+    def one_step(poses):
+        lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
+        b = -_gradient(lin)
+        delta = apply_M(b)
+        for _ in range(max(int(config.delta_refine), 0)):
+            delta = delta + apply_M(b - mv(delta))
+        delta = jnp.nan_to_num(delta) * lin.free[:, None]
+        new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
+        new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
+        return new_poses, jnp.linalg.norm(delta) / jnp.sqrt(n_active)
+
+    def gn_step(carry, _):
+        poses, total, last_delta = carry
+
+        def run(poses):
+            p, dn = one_step(poses)
+            return p, jnp.int32(config.delta_refine), dn
+
+        def skip(poses):
+            return poses, jnp.int32(0), last_delta
+
+        poses, it, dnorm = jax.lax.cond(last_delta >= gn_tol, run, skip,
+                                        poses)
+        return (poses, total + it, dnorm), None
+
+    (new_poses, total, _), _ = jax.lax.scan(
+        gn_step, (poses, jnp.int32(0), jnp.float32(jnp.inf)), None,
+        length=max(config.gn_iterations, 1))
     e = (graph_error(graph, new_poses) if config.compute_errors
          else jnp.float32(-1.0))
     res = SolveResult(poses=new_poses, error_initial=jnp.float32(-1.0),
-                      error_final=e,
-                      pcg_iterations=jnp.int32(config.delta_refine))
+                      error_final=e, pcg_iterations=total)
     return cache, res
 
 

@@ -828,9 +828,12 @@ def main():
         jax.block_until_ready(r.state.traj_poses)
         rate = (len(beam_frames) - n_warm) / (time.perf_counter() - t0)
         traj = online.extract_trajectory(r.state)
-        errs = np.linalg.norm(
-            traj[:len(beam_frames), 4:]
-            - np.stack([f.gt_pose7[4:] for f in beam_frames]), axis=1)
+        # Chunk truncation drops a tail of frames (len(timed) rounds down
+        # to a chunk multiple), so the trajectory is a PREFIX of the
+        # stream: compare only the scans actually processed.
+        gt = np.stack([f.gt_pose7[4:] for f in beam_frames])
+        n_proc = min(len(traj), len(gt))
+        errs = np.linalg.norm(traj[:n_proc, 4:] - gt[:n_proc], axis=1)
         return rate, float(errs.mean())
 
     def run_e2e_chunked(cfg, beam_frames, n_warm, chunk=8, packed_az=None):
@@ -978,9 +981,12 @@ def main():
         jax.block_until_ready(r.state.traj_poses)
         rate = len(timed) / (time.perf_counter() - t0)
         traj = online.extract_trajectory(r.state)
-        errs = np.linalg.norm(
-            traj[:len(beam_frames), 4:]
-            - np.stack([f.gt_pose7[4:] for f in beam_frames]), axis=1)
+        # Chunk truncation drops a tail of frames (len(timed) rounds down
+        # to a chunk multiple), so the trajectory is a PREFIX of the
+        # stream: compare only the scans actually processed.
+        gt = np.stack([f.gt_pose7[4:] for f in beam_frames])
+        n_proc = min(len(traj), len(gt))
+        errs = np.linalg.norm(traj[:n_proc, 4:] - gt[:n_proc], axis=1)
         return (rate, len(r.detections), len(r.rejected_detections),
                 float(errs.mean()))
 
@@ -991,7 +997,9 @@ def main():
         radius_m=20.0, center_m=(8.0, 5.0), laps=2, world_size_m=80.0,
         range_noise_m=0.01, odom_noise=0.005, seed=21))
     pr_streams['kitti'] = list(vs.BeamStream(
-        n_scans=26 if SMOKE else 116, n_beams=64,
+        n_scans=27 if SMOKE else 116, n_beams=64,   # deliberately NOT a
+        # chunk multiple (either mode): pins the prefix-alignment in the
+        # trajectory-error code against chunk truncation.
         n_azimuth=128 if SMOKE else 2048, trajectory='circle',
         radius_m=20.0, center_m=(8.0, 5.0), laps=2, world_size_m=80.0,
         range_noise_m=0.01, odom_noise=0.005, seed=22))

@@ -528,6 +528,19 @@ def main():
     # exactly what the online path runs per closure
     # (online_loop_closure_cached).
     warm_sets = [o.poses for o in outs]
+    # Realistic-lever closure for the delta fast-path leg: 100 m span,
+    # 3 cm correction — the measurement class an ICP-verified revisit
+    # detection actually produces.  Appended FIRST so the delta leg's
+    # graph (data_rc) contains no factor its extended cache doesn't
+    # know about (the solve_closure_cached contract).
+    rca, rcb = (100, 164) if SMOKE else (4000, 4100)
+    rc_idx = g.add_relative(rca, rcb, np.asarray(np.concatenate(
+        [[1, 0, 0, 0], [float(rcb - rca), 0.03, 0]]).astype(np.float32)),
+        sig)
+    data_rc = g.to_device()
+    # Long-lever stress factor (7.5 km span after whitening ~ the f32
+    # boundary, experiments/delta_divergence_probe.py) for the
+    # PCG-based incremental legs, which handle it exactly.
     ia, ib = (123, 456) if SMOKE else (1234, 8765)
     new_idx = g.add_relative(ia, ib, np.asarray(
         np.concatenate([[1, 0, 0, 0], [float(ib - ia), 0.05, 0]])
@@ -594,26 +607,36 @@ def main():
 
     # Relinearize-skip delta solve (solver.solve_closure_cached): the
     # iSAM2 relinearizeThreshold analogue — absorb the new factor
-    # (rank-6) and solve H delta = -g_newfactor against the cached
-    # factorization with stale-exact Richardson refinement.  No O(F)
-    # linearize, no matvec build, no PCG vector chain.
+    # (rank-6) and solve H delta = -g against the cached factorization
+    # with GUARDED stale-exact Richardson refinement + gradient-norm
+    # step acceptance.  No O(F) matvec build, no PCG vector chain.
+    # Measured on the REALISTIC closure (100 m lever, data_rc) — inside
+    # its documented contract; on the 7.5 km stress factor the guard
+    # degrades it to a no-op (recorded boundary,
+    # experiments/delta_divergence_probe.py).
     scfg_delta = dc_replace(scfg_inc, compute_errors=False)
+    rc_fidx = jnp.int32(rc_idx)
 
     def inc_delta(w, c):
-        c2, res = sv.solve_closure_cached(data2, w, jmask, c, fidx,
+        c2, res = sv.solve_closure_cached(data_rc, w, jmask, c, rc_fidx,
                                           scfg_delta)
         return res.poses
 
     extras['tpu_gn_solve_10k_delta_device_ms'] = round(
         prof.marginal_ms(inc_delta, (warm_sets[0], cache), k_lo=2,
                          k_hi=10, reps=2 if SMOKE else 3), 2)
-    # Accuracy of the delta step vs the full cached solve, same state.
-    _, out_d = sv.solve_closure_cached(data2, warm_sets[0], jmask, cache,
-                                       fidx, scfg_inc)
+    # Accuracy of the delta step vs the full cached solve on the SAME
+    # graph + extension (both absorb rc_idx from the same base cache).
+    _, out_d = sv.solve_closure_cached(data_rc, warm_sets[0], jmask,
+                                       cache, rc_fidx, scfg_inc)
+    ext_rc = sv.extend_cache(data_rc, warm_sets[0], jmask, cache, rc_fidx,
+                             scfg_inc)
+    out_rc_full = sv.solve_cached(data_rc, warm_sets[0], jmask, ext_rc,
+                                  scfg_inc)
     extras['tpu_gn_solve_delta_error'] = round(float(out_d.error_final), 2)
     extras['tpu_gn_solve_delta_vs_full_m'] = round(float(jnp.max(
         jnp.linalg.norm(out_d.poses[:NP_, 4:]
-                        - outs2c[0].poses[:NP_, 4:], axis=-1))), 4)
+                        - out_rc_full.poses[:NP_, 4:], axis=-1))), 4)
 
     # Closure-burst amortization (round-4 verdict weak #6: on a
     # closure-dense segment the cached path degenerates toward cold-solve
@@ -949,13 +972,17 @@ def main():
         pr = PlaceRecognitionConfig(detect_every=2, fetch_every=4,
                                     exclude_recent_keys=24,
                                     min_keys_between_detections=10)
-        # Closure injections ride the relinearize-skip delta solve
-        # (solver.solve_closure_cached) — round-5: the full cached GN
-        # re-solve per injection was a measurable share of the PR-on
-        # 16k gap; the delta step is first-order identical at the warm
-        # state the stream is always in.
+        # Closure injections ride the FULL cached solve (extend_cache +
+        # solve_cached).  Round-5 tried closure_solve='delta' here and
+        # it diverged whole trajectories (mean err 1503 m vs 0.03 m,
+        # experiments/pr_delta_repro.py): the runner's cache is built
+        # scans before a detection lands, so the delta step model
+        # oversteps every pose appended since.  The measured cost of
+        # the full path is ~3 ms/run of lc_solve dispatch — noise
+        # against the flush/verify totals — so 'full' is strictly
+        # better here.
         cfg = dc_replace(cfg, solver=dc_replace(
-            cfg.solver, preconditioner='woodbury', closure_solve='delta',
+            cfg.solver, preconditioner='woodbury', closure_solve='full',
             compute_errors=False))
         r = online.OnlineRunner(cfg, pose_capacity=2048,
                                 factor_capacity=8192, archive_points=2048,

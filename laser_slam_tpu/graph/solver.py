@@ -1193,12 +1193,23 @@ def solve_closure_cached(graph: FactorGraphData, poses, pose_mask,
          cached throughout).
 
     Cost per outer step: one linearize/gradient pass +
-    (1 + delta_refine) preconditioner applies + delta_refine stale
+    (1 + delta_refine) preconditioner applies + 2*delta_refine+1 stale
     matvecs — no chain build, no PCG dot-product chain; plus the one-
-    time rank-6 extension.  Accuracy: the fixed point (gradient zero)
-    is IDENTICAL to the full solve — only the step model is stale
-    (test_solve_closure_cached_matches_full).  Returns
-    (new_cache, SolveResult).
+    time rank-6 extension and two gradient-norm acceptance passes.
+
+    CONTRACT (round-5, measured): this is an EXPERIMENTAL fast path.
+    It is numerically sound only when (a) the cache's chain
+    factorization covers the current pose set (poses appended since
+    build ride identity rows — the stale step model oversteps them by
+    ~1/sigma^2) and (b) whitened closure lever arms stay within f32
+    range (cn2 ~ lever^2/sigma^2 amplifies rounding noise; measured
+    divergence at a 7.5 km lever, experiments/delta_divergence_probe.py).
+    Outside that envelope the refinement guard and the final
+    gradient-norm acceptance below degrade it to one-shot
+    preconditioner quality or a NO-OP (input poses returned) — never a
+    diverged trajectory (experiments/pr_delta_repro.py).  The safe
+    general-purpose incremental path is :func:`solve_cached`
+    (``closure_solve='full'``).  Returns (new_cache, SolveResult).
     """
     cache = extend_cache(graph, poses, pose_mask, cache, factor_idx,
                          config)
@@ -1207,12 +1218,31 @@ def solve_closure_cached(graph: FactorGraphData, poses, pose_mask,
     gn_tol = config.gn_tolerance
     n_active = jnp.maximum(jnp.sum(pose_mask.astype(jnp.float32)), 1.0)
 
+    def grad_norm(poses):
+        lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
+        return jnp.linalg.norm(_gradient(lin))
+
     def one_step(poses):
         lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
         b = -_gradient(lin)
+        # Guarded (residual-monotone) Richardson refinement: keep a
+        # refined delta only while the stale-Hessian residual SHRINKS.
+        # Unguarded refinement diverges once f32 noise in the low-rank
+        # term (amplified by cn2 ~ whitened-lever^2) pushes
+        # rho(I - M H_stale) past 1 — measured amplification ~700x/step
+        # at a 7.5 km lever (experiments/delta_divergence_probe.py); the
+        # guard bounds the result at one-shot preconditioner quality.
         delta = apply_M(b)
+        r = b - mv(delta)
+        rn = jnp.linalg.norm(r)
         for _ in range(max(int(config.delta_refine), 0)):
-            delta = delta + apply_M(b - mv(delta))
+            cand = delta + apply_M(r)
+            r_c = b - mv(cand)
+            rn_c = jnp.linalg.norm(r_c)
+            better = jnp.isfinite(rn_c) & (rn_c < rn)
+            delta = jnp.where(better, cand, delta)
+            r = jnp.where(better, r_c, r)
+            rn = jnp.where(better, rn_c, rn)
         delta = jnp.nan_to_num(delta) * lin.free[:, None]
         new_poses = se3.normalize(se3.compose(poses, se3.exp(delta)))
         new_poses = jnp.where(pose_mask[:, None], new_poses, poses)
@@ -1235,6 +1265,19 @@ def solve_closure_cached(graph: FactorGraphData, poses, pose_mask,
     (new_poses, total, _), _ = jax.lax.scan(
         gn_step, (poses, jnp.int32(0), jnp.float32(jnp.inf)), None,
         length=max(config.gn_iterations, 1))
+    # Step acceptance (the safety valve that makes 'delta' never WORSE
+    # than a no-op): the cached step model is structurally wrong for
+    # poses appended after the cache build (identity rows vs true
+    # chain weights — a ~1/sigma^2 overstep), which diverged whole
+    # trajectories in the online PR flow (experiments/pr_delta_repro.py:
+    # mean err 1503 m vs 0.03 m).  Accept the result only if the fresh
+    # gradient norm of the updated graph did not increase; otherwise
+    # return the input poses unchanged (caller falls back to a full
+    # solve or a later refine()).
+    g0 = grad_norm(poses)
+    g1 = grad_norm(new_poses)
+    accept = jnp.isfinite(g1) & (g1 <= g0)
+    new_poses = jnp.where(accept, new_poses, poses)
     e = (graph_error(graph, new_poses) if config.compute_errors
          else jnp.float32(-1.0))
     res = SolveResult(poses=new_poses, error_initial=jnp.float32(-1.0),
@@ -1352,9 +1395,21 @@ def marginal_covariance_cached(graph: FactorGraphData, poses, pose_mask,
     of the cache's build-point linearization (the previous optimum);
     covariance is a curvature quantity and the difference from the
     fresh-point value is second order (pinned by
-    test_marginal_covariance_cached_matches_oneshot).  PCG (not plain
-    refinement) keeps the probes robust when the cache is degraded
-    (off-chain overflow, staleness)."""
+    test_marginal_covariance_cached_matches_oneshot).
+
+    Probe solver (round-5): PCG over the cache operators with a DIRECT
+    preconditioner start, x0 = M(e).  The r4/r5 measurements showed the
+    probe cost is LAUNCH LATENCY of the cyclic-reduction apply chain
+    times the iteration count (~95 ms/key at 10k poses for a
+    zero-start 12-iteration budget), so the win is cutting ITERATIONS:
+    the Woodbury start already satisfies a gating-grade tolerance and
+    the loop exits after the 1-4 iterations needed to pass
+    ``config.pcg_tolerance``.  Plain Richardson refinement was tried
+    first and recorded as slower-converging: its contraction is
+    rho(I - M H_stale), measured 0.43/step on an online runner cache
+    (build point one closure behind), where PCG's Krylov acceleration
+    converges in half the steps and stays robust when the cache is
+    degraded."""
     damping = jnp.float32(config.damping)
     apply_M = _apply_from_cache(cache)
     mv = _stale_matvec(cache)
@@ -1363,9 +1418,9 @@ def marginal_covariance_cached(graph: FactorGraphData, poses, pose_mask,
 
     def one_probe(key, d):
         e = jnp.zeros((n, 6), poses.dtype).at[key, d].set(1.0)
-        x0 = apply_M(e) if config.pcg_init == 'precond' else None
         x, _ = _pcg(None, e, damping, config.pcg_iterations,
-                    config.pcg_tolerance, apply_M, matvec=mv, x0=x0)
+                    config.pcg_tolerance, apply_M, matvec=mv,
+                    x0=apply_M(e))
         return x[key]
 
     def one_key(key):

@@ -536,6 +536,41 @@ def online_step(state: OnlineState, points: jax.Array, n_valid: jax.Array,
     return state, info
 
 
+def _apply_group_alignment(state: OnlineState, key_a, key_b, a_T_a_b,
+                           align_mask) -> OnlineState:
+    """Rigidly pre-align the absorbed group's poses so the new linking
+    factor is already satisfied when the solve starts.
+
+    Why: a cross-track linking closure demands a ~100 m correction of
+    every pose of the absorbed track.  Solving that from the parked
+    state is a near-zero-curvature valley (rotate/translate the WHOLE
+    rigid track, resisted only by the one new factor), and with
+    interleaved multi-robot keys none of the track's odometry factors
+    sit on the block-tridiagonal chain (``key_b == key_a + 1`` never
+    holds), so the chain preconditioner can't carry the long-range mode
+    either — measured: 12 GN x 128 PCG refine iterations plateaued at
+    ~28 m linked-map ATE (experiments/multirobot_ate_probe.py).  The
+    rigid correction C = T_a meas T_b^-1 applied to the absorbed
+    group's poses is exactly the transform the closure asserts; after
+    it the solve only polishes residual strain.  This mirrors the
+    reference's frame semantics: each worker keeps its trajectory in
+    its own odom frame and a closure shifts the whole frame via
+    world_to_odom (laser_slam_worker.cpp:522-540), not pose by pose.
+    """
+    T_w_a = state.traj_poses[key_a]
+    T_w_b = state.traj_poses[key_b]
+    # Move whichever side the mask covers (the absorbed group): C_b
+    # aligns key_b's side onto key_a's frame, C_a the reverse.
+    C_b = se3.compose(T_w_a, se3.compose(a_T_a_b, se3.inverse(T_w_b)))
+    C_a = se3.compose(T_w_b, se3.compose(se3.inverse(a_T_a_b),
+                                         se3.inverse(T_w_a)))
+    C = jnp.where(align_mask[key_b], C_b, C_a)
+    aligned = se3.normalize(
+        jax.vmap(lambda p: se3.compose(C, p))(state.traj_poses))
+    return state._replace(traj_poses=jnp.where(align_mask[:, None],
+                                               aligned, state.traj_poses))
+
+
 def _append_lc_factor(state: OnlineState, key_a: jax.Array,
                       key_b: jax.Array, a_T_a_b: jax.Array,
                       config: EstimatorConfig,
@@ -576,11 +611,15 @@ def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
                          key_b: jax.Array, a_T_a_b: jax.Array,
                          config: EstimatorConfig,
                          remove_prior_slot: jax.Array,
-                         use_association: bool
+                         use_association: bool,
+                         align_mask=None
                          ) -> Tuple[OnlineState, StepInfo]:
     """Append one loop-closure factor and full-solve (cold preconditioner
     build each time; :func:`_append_lc_and_solve_cached` is the
     iSAM2-equivalent reuse path)."""
+    if align_mask is not None:
+        state = _apply_group_alignment(state, key_a, key_b, a_T_a_b,
+                                       align_mask)
     state, _ = _append_lc_factor(state, key_a, key_b, a_T_a_b, config,
                                  remove_prior_slot, use_association)
     pose_mask = jnp.arange(state.traj_poses.shape[0]) < state.n_poses
@@ -596,11 +635,15 @@ def _append_lc_and_solve(state: OnlineState, key_a: jax.Array,
 
 def _append_lc_and_solve_cached(state: OnlineState, cache, key_a, key_b,
                                 a_T_a_b, config: EstimatorConfig,
-                                remove_prior_slot, use_association: bool):
+                                remove_prior_slot, use_association: bool,
+                                align_mask=None):
     """Cached-preconditioner loop-closure solve: absorb the new factor
     into the persisted WoodburyCache (rank-6 capacitance extension) and
     solve with it — the TPU analogue of iSAM2 updating its Bayes tree
     instead of re-factorizing (incremental_estimator.cpp:151-163)."""
+    if align_mask is not None:
+        state = _apply_group_alignment(state, key_a, key_b, a_T_a_b,
+                                       align_mask)
     state, idx = _append_lc_factor(state, key_a, key_b, a_T_a_b, config,
                                    remove_prior_slot, use_association)
     pose_mask = jnp.arange(state.traj_poses.shape[0]) < state.n_poses
@@ -700,7 +743,8 @@ def online_loop_closure(state: OnlineState, key_a: jax.Array,
                         key_b: jax.Array, w_T_a_b: jax.Array,
                         config: EstimatorConfig,
                         remove_prior_slot: jax.Array = jnp.int32(-1),
-                        use_association: bool = False
+                        use_association: bool = False,
+                        align_mask=None
                         ) -> Tuple[OnlineState, StepInfo]:
     """Add a loop-closure factor between two existing keys and re-solve.
 
@@ -708,13 +752,17 @@ def online_loop_closure(state: OnlineState, key_a: jax.Array,
     converted to the relative frame of key_a exactly as
     incremental_estimator.cpp:83-87.  For submap-ICP refinement of the
     alignment on device, use :func:`online_loop_closure_refined`.
+    ``align_mask`` ([N] bool, linking closures): poses to rigidly
+    pre-align by the closure's world correction — the absorbed group
+    (see :func:`_apply_group_alignment`).
     """
     T_w_a = state.traj_poses[key_a]
     T_w_b = state.traj_poses[key_b]
     a_T_a_b = se3.compose(se3.inverse(T_w_a),
                           se3.compose(se3.normalize(w_T_a_b), T_w_b))
     return _append_lc_and_solve(state, key_a, key_b, a_T_a_b, config,
-                                remove_prior_slot, use_association)
+                                remove_prior_slot, use_association,
+                                align_mask)
 
 
 @functools.partial(jax.jit, static_argnames=('config', 'use_association'),
@@ -723,7 +771,8 @@ def online_loop_closure_cached(state: OnlineState, cache, key_a: jax.Array,
                                key_b: jax.Array, w_T_a_b: jax.Array,
                                config: EstimatorConfig,
                                remove_prior_slot: jax.Array = jnp.int32(-1),
-                               use_association: bool = False):
+                               use_association: bool = False,
+                               align_mask=None):
     """:func:`online_loop_closure` with a persisted solver cache
     (solver.WoodburyCache): the new factor extends the cached capacitance
     factorization instead of triggering a preconditioner rebuild.
@@ -734,7 +783,7 @@ def online_loop_closure_cached(state: OnlineState, cache, key_a: jax.Array,
                           se3.compose(se3.normalize(w_T_a_b), T_w_b))
     return _append_lc_and_solve_cached(state, cache, key_a, key_b, a_T_a_b,
                                        config, remove_prior_slot,
-                                       use_association)
+                                       use_association, align_mask)
 
 
 def _gather_submap(state: OnlineState, archive: ScanArchive,
@@ -917,14 +966,16 @@ def online_loop_closure_refined(state: OnlineState, archive: ScanArchive,
                                 w_T_a_b: jax.Array,
                                 config: EstimatorConfig,
                                 remove_prior_slot: jax.Array = jnp.int32(-1),
-                                use_association: bool = False
+                                use_association: bool = False,
+                                align_mask=None
                                 ) -> Tuple[OnlineState, StepInfo]:
     """Loop closure with device-side submap-ICP refinement of the
     alignment (see :func:`_refine_lc_meas`)."""
     meas, icp_res = _refine_lc_meas(state, archive, key_a, key_b, w_T_a_b,
                                     config)
     state, info = _append_lc_and_solve(state, key_a, key_b, meas, config,
-                                       remove_prior_slot, use_association)
+                                       remove_prior_slot, use_association,
+                                       align_mask)
     return state, info._replace(icp_valid=icp_res.valid,
                                 icp_inliers=icp_res.num_inliers)
 
@@ -938,7 +989,8 @@ def online_loop_closure_refined_cached(state: OnlineState,
                                        config: EstimatorConfig,
                                        remove_prior_slot: jax.Array
                                        = jnp.int32(-1),
-                                       use_association: bool = False):
+                                       use_association: bool = False,
+                                       align_mask=None):
     """:func:`online_loop_closure_refined` with a persisted solver cache
     (see :func:`online_loop_closure_cached`).  Returns
     (state, cache, info)."""
@@ -946,7 +998,7 @@ def online_loop_closure_refined_cached(state: OnlineState,
                                     config)
     state, cache, info = _append_lc_and_solve_cached(
         state, cache, key_a, key_b, meas, config, remove_prior_slot,
-        use_association)
+        use_association, align_mask)
     return state, cache, info._replace(icp_valid=icp_res.valid,
                                        icp_inliers=icp_res.num_inliers)
 
@@ -1632,6 +1684,7 @@ class OnlineRunner:
         track_b = self.key_info[key_b][0]
         remove_slot = -1
         use_assoc = False
+        align_mask = None
         if track_a != track_b:
             ga = self._find_group(track_a)
             gb = self._find_group(track_b)
@@ -1641,6 +1694,15 @@ class OnlineRunner:
                     if tid in self._prior_slot_of_track:
                         remove_slot = self._prior_slot_of_track.pop(tid)
                         use_assoc = True
+                # Rigidly pre-align the absorbed group's poses by the
+                # closure's world correction before solving (see
+                # _apply_group_alignment: the parked->linked jump is a
+                # frame shift, not a per-pose optimization problem).
+                dropped = set(drop)
+                m = np.zeros((self.state.traj_poses.shape[0],), bool)
+                m[[k for k, (t, _) in enumerate(self.key_info)
+                   if t in dropped]] = True
+                align_mask = jnp.asarray(m)
                 keep.extend(drop)
                 self._linked_groups.remove(drop)
         old_lasts = None
@@ -1667,26 +1729,26 @@ class OnlineRunner:
                     jnp.int32(key_b),
                     jnp.asarray(np.asarray(w_T_a_b, np.float32)),
                     self.config, remove_prior_slot=jnp.int32(remove_slot),
-                    use_association=use_assoc))
+                    use_association=use_assoc, align_mask=align_mask))
         elif cache is not None:
             self.state, self._solver_cache, _ = online_loop_closure_cached(
                 self.state, cache, jnp.int32(key_a), jnp.int32(key_b),
                 jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
                 remove_prior_slot=jnp.int32(remove_slot),
-                use_association=use_assoc)
+                use_association=use_assoc, align_mask=align_mask)
         elif refined:
             self.state, _ = online_loop_closure_refined(
                 self.state, self.archive, jnp.int32(key_a),
                 jnp.int32(key_b),
                 jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
                 remove_prior_slot=jnp.int32(remove_slot),
-                use_association=use_assoc)
+                use_association=use_assoc, align_mask=align_mask)
         else:
             self.state, _ = online_loop_closure(
                 self.state, jnp.int32(key_a), jnp.int32(key_b),
                 jnp.asarray(np.asarray(w_T_a_b, np.float32)), self.config,
                 remove_prior_slot=jnp.int32(remove_slot),
-                use_association=use_assoc)
+                use_association=use_assoc, align_mask=align_mask)
         _lc_timer.__exit__(None, None, None)
         if self.mapper is not None:
             # Re-rigidify each track's device map by that track's own
@@ -1724,6 +1786,11 @@ class OnlineRunner:
         ka, kb = jnp.int32(0), jnp.int32(1)
         ident = jnp.asarray(se3.identity())
         slot = jnp.int32(-1)
+        # Cross-track (use_association) injections also pass the
+        # absorbed-group alignment mask — warm up the same traced
+        # variant add_loop_closure will dispatch.
+        amask = (jnp.zeros((self.state.traj_poses.shape[0],), bool)
+                 if use_association else None)
         sink = []
         if (self.archive is not None and self.detector is not None
                 and self.detector.config.verify_with_icp):
@@ -1737,20 +1804,24 @@ class OnlineRunner:
             c2 = jax.tree_util.tree_map(jnp.copy, cache)
             s2, c2, _ = online_loop_closure_refined_cached(
                 st, self.archive, c2, ka, kb, ident, self.config,
-                remove_prior_slot=slot, use_association=use_association)
+                remove_prior_slot=slot, use_association=use_association,
+                align_mask=amask)
         elif cache is not None:
             c2 = jax.tree_util.tree_map(jnp.copy, cache)
             s2, c2, _ = online_loop_closure_cached(
                 st, c2, ka, kb, ident, self.config,
-                remove_prior_slot=slot, use_association=use_association)
+                remove_prior_slot=slot, use_association=use_association,
+                align_mask=amask)
         elif refined:
             s2, _ = online_loop_closure_refined(
                 st, self.archive, ka, kb, ident, self.config,
-                remove_prior_slot=slot, use_association=use_association)
+                remove_prior_slot=slot, use_association=use_association,
+                align_mask=amask)
         else:
             s2, _ = online_loop_closure(
                 st, ka, kb, ident, self.config,
-                remove_prior_slot=slot, use_association=use_association)
+                remove_prior_slot=slot, use_association=use_association,
+                align_mask=amask)
         sink.append(s2.traj_poses)
         jax.block_until_ready(sink)
 

@@ -69,6 +69,7 @@ _COMPACT_PRIORITY = [
     'tpu_gn_solve_10k_delta_device_ms',
     'tpu_closure_burst_amortized_ms',
     'tpu_marginal_cov_10k_ms_per_key', 'tpu_marginal_cov_cached_ms_per_key',
+    'exact_marginal_host_ms_per_key',
     # transport-independent device e2e (comparable across rounds)
     'tpu_e2e_beam16k_device_ms_per_scan',
     'tpu_e2e_beam16k_device_scans_per_sec',
@@ -702,6 +703,22 @@ def main():
     mcc_ms = (time.perf_counter() - t0) / 3 * 1e3
     extras['tpu_marginal_cov_cached_10k_8keys_ms'] = round(mcc_ms, 2)
     extras['tpu_marginal_cov_cached_ms_per_key'] = round(mcc_ms / 8, 2)
+
+    # EXACT marginals (host sparse f64 — the reference's gtsam Marginals
+    # tool class).  The round-5 ground-truth study showed the f32 device
+    # probes saturate on weakly-observed modes (end-of-chain lateral
+    # variance 4.2e3 m^2 floors around 1e1 in ANY f32 formulation), so
+    # the exact number is this host path's; the device probes above are
+    # the fast approximation for well-observed/window-local use
+    # (accuracy envelope in solver.marginal_covariance's docstring).
+    sv.marginal_covariance_exact(data2, outs2c[0].poses, jmask,
+                                 np.asarray(mkeys), scfg_inc)  # jit warm
+    t0 = time.perf_counter()
+    sv.marginal_covariance_exact(data2, outs2c[1].poses, jmask,
+                                 np.asarray(mkeys), scfg_inc)
+    mce_ms = (time.perf_counter() - t0) * 1e3
+    extras['exact_marginal_host_10k_8keys_ms'] = round(mce_ms, 2)
+    extras['exact_marginal_host_ms_per_key'] = round(mce_ms / 8, 2)
 
     # End-to-end online SLAM throughput (device-resident fast path):
     # scans/sec through filters + normals + scan-to-submap ICP +

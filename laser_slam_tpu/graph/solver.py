@@ -404,10 +404,20 @@ def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None,
     # Stabilize cyclic reduction in f32: deep Schur complements of long
     # chains can go (numerically) indefinite.  A relative diagonal boost
     # keeps every pivot SPD; the preconditioner only needs to be close,
-    # PCG absorbs the inexactness.
+    # PCG absorbs the inexactness.  Magnitude matters for the LOW modes:
+    # the boost floors the preconditioned Hessian's smallest eigenvalues
+    # at ~boost*diag_mag, and a 10k-pose chain's true smallest modes sit
+    # around 1/cov ~ 0.3 where diag_mag ~ 2e4 — at the historical 1e-3
+    # the floor (~20) buried them, capping M's long-wavelength accuracy
+    # at ~1% and forcing the covariance probes through dozens of PCG
+    # iterations (experiments/cov_iteration_sweep.py).  With the dense
+    # root absorbing the last levels (_CR_STOP=512 -> only ~5 reduction
+    # levels at 16k poses) a much smaller boost is stable; _CR_BOOST is
+    # module-level so experiments can sweep it.
     if boost:
         diag_mag = jnp.einsum('nii->n', B) / 6.0
-        B = B + (1e-3 * diag_mag)[:, None, None] * jnp.eye(6, dtype=B.dtype)
+        B = B + (_CR_BOOST * diag_mag)[:, None, None] * jnp.eye(
+            6, dtype=B.dtype)
     return B, A
 
 
@@ -425,6 +435,20 @@ def _build_tridiag(lin: _LinearizedGraph, damping, w_scale=None,
 # that for 0.1 ms).  The direct-Woodbury solve path (pcg_init=
 # 'precond') makes the apply THE hot op, so the knee matters.
 _CR_STOP = 512
+
+# Relative diagonal boost applied to the chain blocks before cyclic
+# reduction (see _build_tridiag).  Swept against an f64 sparse ground
+# truth in round 5 (experiments/cov_iteration_sweep.py + the findings
+# in its docstring): the boost floors the factorization's smallest
+# representable modes at ~boost*diag_mag, but shrinking it does NOT
+# recover weakly-observed modes — f32 rounding inside the reduction
+# acts as an effective boost of its own (1e-7 still capped a true
+# 4.2e3 m^2 end-of-chain y-variance at ~15; 0 went indefinite/NaN).
+# 1e-3 is the validated stable setting; EXACT absolute marginals on
+# weakly-anchored graphs are an f64 computation by nature — use
+# marginal_covariance_exact (host, sparse f64), like the reference's
+# gtsam Marginals.
+_CR_BOOST = 1e-3
 
 
 def _tridiag_factor(B, A, stop=None):
@@ -1357,6 +1381,19 @@ def marginal_covariance(graph: FactorGraphData, poses, pose_mask, keys,
     needs O(N)); all K*6 probe directions run as one vmapped batch, so
     every PCG iteration is a single batched matvec + preconditioner
     apply on the MXU rather than 6K sequential solves.
+
+    ACCURACY ENVELOPE (round-5, measured against an f64 sparse ground
+    truth): the f32 device probes are accurate for well-observed modes
+    — window-local uncertainty, keys near the gauge anchor, directions
+    tied down by closures — but SATURATE on weakly-observed modes: on
+    a 10k-pose single-anchor chain the true end-of-chain lateral
+    variance is ~4.2e3 m^2 (rot-drift x lever squared) while f32
+    rounding inside the chain factorization floors the computation
+    around 1e1 regardless of boost or iteration budget
+    (experiments/cov_iteration_sweep.py findings).  For exact absolute
+    marginals on weakly-anchored graphs use
+    :func:`marginal_covariance_exact` (host sparse f64 — the same tool
+    class as the reference's gtsam Marginals, laser_track.cpp:421-429).
     """
     lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
     damping = jnp.float32(config.damping)
@@ -1452,3 +1489,83 @@ def _marginal_probes(lin: _LinearizedGraph, damping, apply_M, iters,
         return cov * lin.free[key]
 
     return jax.vmap(one_key)(keys)
+
+
+def marginal_covariance_exact(graph: FactorGraphData, poses, pose_mask,
+                              keys, config: SolverConfig) -> 'np.ndarray':
+    """EXACT per-key 6x6 marginal covariances via a host-side sparse
+    f64 factorization — the same tool class as the reference's
+    ``gtsam::Marginals`` (laser_track.cpp:421-429), which also runs
+    f64 sparse elimination on the host CPU.
+
+    Why a host path exists in a TPU framework: absolute marginals on
+    weakly-anchored graphs span ~11 orders of magnitude (1e-7 rad^2 at
+    the gauge anchor to 4.2e3 m^2 of lateral drift at the end of a
+    10k-pose chain) and the round-5 ground-truth study showed f32 —
+    ANY f32 formulation, direct or iterative, at any stabilization
+    boost — floors the weak modes around 1e1
+    (see :func:`marginal_covariance`'s accuracy envelope and
+    experiments/cov_iteration_sweep.py).  Exactness here is a dynamic-
+    range property, not an algorithm property, so the exact path runs
+    where f64 is native.  Covariance queries are rare introspection /
+    gating ops (the reference computes them on its single CPU thread
+    too), and the one linearization pull is a few MB.
+
+    Returns a host ``np.ndarray`` [K,6,6] float64.
+    """
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    lin = _linearize(graph, poses, pose_mask, config.cauchy_k)
+    free = np.asarray(lin.free, np.float64)
+    n = free.shape[0]
+    fkeys = np.asarray(lin.keys)
+    w = np.asarray(lin.w_rel, np.float64)
+    # Free-gated whitened Jacobians, exactly as _hessian_matvec gates.
+    Jaf = np.asarray(lin.Ja, np.float64) * free[fkeys[:, 0], None, None]
+    Jbf = np.asarray(lin.Jb, np.float64) * free[fkeys[:, 1], None, None]
+    Haa = np.einsum('fji,fjk->fik', Jaf, Jaf * w[:, None, None])
+    Hbb = np.einsum('fji,fjk->fik', Jbf, Jbf * w[:, None, None])
+    Hab = np.einsum('fji,fjk->fik', Jaf, Jbf * w[:, None, None])
+    pk = np.asarray(lin.prior_keys)
+    wp = np.asarray(lin.w_prior, np.float64)
+    Jpf = np.asarray(lin.Jp, np.float64) * free[pk, None, None]
+    Hpp = np.einsum('pji,pjk->pik', Jpf, Jpf * wp[:, None, None])
+
+    idx6 = np.arange(6)
+
+    def coo_parts(bi, bj, B):
+        r = np.broadcast_to((6 * bi)[:, None, None] + idx6[None, :, None],
+                            B.shape)
+        c = np.broadcast_to((6 * bj)[:, None, None] + idx6[None, None, :],
+                            B.shape)
+        return r.ravel(), c.ravel(), B.ravel()
+
+    parts = [coo_parts(fkeys[:, 0], fkeys[:, 0], Haa),
+             coo_parts(fkeys[:, 1], fkeys[:, 1], Hbb),
+             coo_parts(fkeys[:, 0], fkeys[:, 1], Hab),
+             coo_parts(fkeys[:, 1], fkeys[:, 0],
+                       np.swapaxes(Hab, -1, -2)),
+             coo_parts(pk, pk, Hpp)]
+    rows = np.concatenate([p[0] for p in parts])
+    cols = np.concatenate([p[1] for p in parts])
+    vals = np.concatenate([p[2] for p in parts])
+    H = sp.coo_matrix((vals, (rows, cols)), shape=(6 * n, 6 * n)).tocsc()
+    # Damping on free states, identity rows for frozen/invalid ones —
+    # the same semantics as _build_tridiag / _hessian_matvec.
+    dvals = np.where(np.repeat(free, 6) > 0, float(config.damping), 1.0)
+    H = (H + sp.diags(dvals)).tocsc()
+
+    lu = spl.splu(H)
+    kq = np.asarray(keys)
+    E = np.zeros((6 * n, 6 * len(kq)))
+    for i, k in enumerate(kq):
+        for d in range(6):
+            E[6 * int(k) + d, 6 * i + d] = 1.0
+    X = lu.solve(E)
+    out = np.zeros((len(kq), 6, 6))
+    for i, k in enumerate(kq):
+        out[i] = X[6 * int(k):6 * int(k) + 6, 6 * i:6 * i + 6].T
+        out[i] *= free[int(k)]
+    return out

@@ -1181,22 +1181,33 @@ class OnlineRunner:
             # factorization is sized to the old pose capacity).
             self._solver_cache = None
 
-    def marginal_covariances(self, keys) -> np.ndarray:
+    def marginal_covariances(self, keys, exact: bool = False) -> np.ndarray:
         """Per-key 6x6 marginal covariances of the current device graph
         (PCG probes, solver.marginal_covariance) — online counterpart of
         IncrementalEstimator.marginal_covariances.  keys: sequence of
         global pose keys -> [K,6,6] numpy.
 
+        ``exact=True`` routes to the host-side sparse f64 path
+        (solver.marginal_covariance_exact — the reference's own tool
+        class): required for ABSOLUTE marginals on weakly-anchored
+        graphs, where f32 device probes saturate on the weak modes
+        (see marginal_covariance's accuracy envelope).
+
         When the runner holds a live Woodbury solver cache (woodbury
-        preconditioner + a past loop-closure solve), the probes run
-        ENTIRELY against it (solver.marginal_covariance_cached): zero
-        O(F) work per query.  The covariances are then those of the
-        graph as absorbed into the cache — closures are absorbed by
+        preconditioner + a past loop-closure solve), the device probes
+        run ENTIRELY against it (solver.marginal_covariance_cached):
+        zero O(F) work per query.  The covariances are then those of
+        the graph as absorbed into the cache — closures are absorbed by
         extend_cache as they land; odometry factors appended since the
         last rebuild are not reflected until the cache_rebuild_after
         cadence rebuilds (bounded drift, see the solver docstring)."""
         pose_mask = np.arange(self.state.traj_poses.shape[0]) < int(
             self.state.n_poses)
+        if exact:
+            return sv.marginal_covariance_exact(
+                _graph_view(self.state), self.state.traj_poses,
+                jnp.asarray(pose_mask),
+                np.asarray(keys, np.int32), self.config.solver)
         if self._solver_cache is not None:
             covs = sv.marginal_covariance_cached(
                 _graph_view(self.state), self.state.traj_poses,

@@ -462,3 +462,57 @@ def test_runner_delta_closure_matches_full(rng):
     for k in traj_d:
         np.testing.assert_allclose(traj_d[k][4:], traj_f[k][4:],
                                    atol=1e-1)
+
+
+def test_marginal_covariance_exact_matches_probes(rng):
+    """The host sparse-f64 exact path (solver.marginal_covariance_exact,
+    the gtsam-Marginals tool class) must agree with the device PCG
+    probes on a small well-observed graph, where the f32 probes are
+    within their accuracy envelope."""
+    g, gt = build_loopy_chain(rng)
+    poses, mask = pad_poses(gt, jitter=0.02, rng=rng)
+    data = g.to_device()
+    cfg = SolverConfig(gn_iterations=1, pcg_iterations=128,
+                       pcg_tolerance=1e-9, preconditioner='woodbury',
+                       offchain_capacity=8)
+    keys = jnp.asarray([1, N // 2, N - 1], jnp.int32)
+    probes = np.asarray(sv.marginal_covariance(data, poses, mask, keys,
+                                               cfg))
+    exact = sv.marginal_covariance_exact(data, poses, mask,
+                                         np.asarray([1, N // 2, N - 1]),
+                                         cfg)
+    np.testing.assert_allclose(exact, probes, rtol=2e-3, atol=1e-5)
+
+
+def test_marginal_covariance_exact_recovers_weak_modes(rng):
+    """The round-5 disclosure, pinned: on a long single-anchor chain the
+    true far-key lateral variance is enormous (rot drift x lever arm,
+    squared) and the f32 device probes SATURATE far below it — only the
+    f64 exact path recovers it.  Guards against ever quietly trusting
+    the f32 probes outside their envelope again."""
+    n, cap = 1024, 1024
+    g = fg.HostGraph(rel_capacity=2048, prior_capacity=4)
+    poses = np.zeros((cap, 7), np.float32)
+    poses[:, 0] = 1.0
+    poses[:n, 4] = np.arange(n, dtype=np.float32)
+    g.add_prior(0, poses[0], PRIOR_SIG)
+    step = np.array([1, 0, 0, 0, 1, 0, 0], np.float32)
+    for i in range(n - 1):
+        g.add_relative(i, i + 1, step, SIG)
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    cfg = SolverConfig(gn_iterations=1, pcg_iterations=32,
+                       pcg_tolerance=1e-9, preconditioner='woodbury')
+    data = g.to_device()
+    keys = np.asarray([n - 1])
+    exact = sv.marginal_covariance_exact(data, jnp.asarray(poses),
+                                         jnp.asarray(mask), keys, cfg)
+    probes = np.asarray(sv.marginal_covariance(
+        data, jnp.asarray(poses), jnp.asarray(mask),
+        jnp.asarray(keys, jnp.int32), cfg))
+    y_true = exact[0, 4, 4]
+    y_probe = probes[0, 4, 4]
+    # Analytic order of magnitude: sum_i sigma_rot^2 * (n - i)^2
+    # ~= 1e-4 * n^3 / 3 ~= 3.6e4 m^2 at n=1024.
+    assert y_true > 1e3, y_true
+    assert y_probe < 0.1 * y_true, (y_probe, y_true)

@@ -149,18 +149,26 @@ def render_readme(m, src_name='bench'):
         if g('tpu_gn_solve_10k_incremental_device_ms') is not None:
             t += (f" / **{fmt(g('tpu_gn_solve_10k_incremental_device_ms'), 1)} ms**"
                   ' incremental device (dispatch-floor-free)')
+        if g('tpu_gn_solve_10k_delta_device_ms') is not None:
+            t += (f"; relinearize-skip delta closure solve"
+                  f" {fmt(g('tpu_gn_solve_10k_delta_device_ms'), 1)} ms device")
+            if g('tpu_gn_solve_delta_vs_full_m') is not None:
+                t += (f" ({fmt(g('tpu_gn_solve_delta_vs_full_m') * 1000, 1)} mm"
+                      ' from the full solve)')
         if g('tpu_closure_burst_amortized_ms') is not None:
             t += (f"; closure burst {fmt(g('tpu_closure_burst_amortized_ms'), 1)}"
                   f" ms/closure amortized over {g('tpu_closure_burst_k') or 8}"
                   ' incl. one cache build')
         row('10k-pose graph solve, perturbed init (PCG, converged)', t)
     if g('tpu_marginal_cov_10k_8keys_ms'):
-        t = (f"{fmt(g('tpu_marginal_cov_10k_ms_per_key'), 1)} ms/key cold"
-             f" ({fmt(g('tpu_marginal_cov_10k_8keys_ms'), 0)} ms for 8 keys,"
-             ' all 48 probe directions as one batched PCG)')
+        t = (f"{fmt(g('tpu_marginal_cov_10k_ms_per_key'), 1)} ms/key f32 device probes"
+             ' (well-observed modes; envelope in solver.marginal_covariance)')
         if g('tpu_marginal_cov_cached_ms_per_key') is not None:
-            t = (f"**{fmt(g('tpu_marginal_cov_cached_ms_per_key'), 1)} ms/key**"
-                 ' with the cached preconditioner / ' + t)
+            t += (f" / {fmt(g('tpu_marginal_cov_cached_ms_per_key'), 1)} ms/key"
+                  ' cache-only')
+        if g('exact_marginal_host_ms_per_key') is not None:
+            t += (f"; EXACT f64 host path (gtsam-Marginals class)"
+                  f" {fmt(g('exact_marginal_host_ms_per_key'), 0)} ms/key")
         row('Marginal covariance queries (10k-pose graph)', t)
     if g('tpu_fleet256_pairs_per_sec'):
         row('Fleet mode: 256 parallel scan-to-scan registrations (4k pts)',

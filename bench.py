@@ -746,11 +746,11 @@ def main():
         radius_m=20.0, noise_m=0.01, odom_noise=0.005, seed=5))
     for f in frames[:8]:   # warm-up/compile
         runner.process_scan(f.time_ns, f.points, f.odom_pose7)
-    jax.block_until_ready(runner.state.traj_poses)
+    np.asarray(runner.state.traj_poses)     # true completion (see dsync)
     t0 = time.perf_counter()
     for f in frames[8:]:
         runner.process_scan(f.time_ns, f.points, f.odom_pose7)
-    jax.block_until_ready(runner.state.traj_poses)
+    np.asarray(runner.state.traj_poses)     # true completion (see dsync)
     extras['tpu_e2e_scans_per_sec'] = round(
         (len(frames) - 8) / (time.perf_counter() - t0), 2)
 
@@ -769,11 +769,11 @@ def main():
                                    factor_capacity=8192)
     for f in frames[:8]:
         runner_f.process_scan(f.time_ns, f.points, f.odom_pose7)
-    jax.block_until_ready(runner_f.state.traj_poses)
+    np.asarray(runner_f.state.traj_poses)   # true completion (see dsync)
     t0 = time.perf_counter()
     for f in frames[8:]:
         runner_f.process_scan(f.time_ns, f.points, f.odom_pose7)
-    jax.block_until_ready(runner_f.state.traj_poses)
+    np.asarray(runner_f.state.traj_poses)   # true completion (see dsync)
     extras['tpu_e2e_fast_scans_per_sec'] = round(
         (len(frames) - 8) / (time.perf_counter() - t0), 2)
 
@@ -849,6 +849,19 @@ def main():
             solver=SolverConfig(gn_iterations=3, gn_tolerance=1e-4,
                                 pcg_iterations=32, window=64))
 
+    def dsync(r):
+        """TRUE completion barrier for a runner's device queue.
+
+        On this platform jax.block_until_ready can return BEFORE
+        enqueued donated-state step/chunk programs have executed
+        (measured 2026-08-20: a 13-chunk 16k loop 'blocked' in 35 ms,
+        after which a 57 KB traj_poses fetch waited 2.5 s for the
+        queue to drain — /tmp probe, recorded in design.md trap #5).
+        A device->host fetch orders behind all pending work on the
+        stream and cannot lie; 57 KB costs one ~30 ms round trip,
+        negligible per leg."""
+        np.asarray(r.state.traj_poses)
+
     def run_e2e(cfg, beam_frames, n_warm, packed_az=None):
         """packed_az: when set, feed the sensor-native uint16 range
         images (ScanFrame.range_words, 2 B/point) instead of xyz
@@ -861,11 +874,11 @@ def main():
                    else (lambda f: f.points))
         for f in beam_frames[:n_warm]:
             r.process_scan(f.time_ns, payload(f), f.odom_pose7)
-        jax.block_until_ready(r.state.traj_poses)
+        dsync(r)
         t0 = time.perf_counter()
         for f in beam_frames[n_warm:]:
             r.process_scan(f.time_ns, payload(f), f.odom_pose7)
-        jax.block_until_ready(r.state.traj_poses)
+        dsync(r)
         rate = (len(beam_frames) - n_warm) / (time.perf_counter() - t0)
         traj = online.extract_trajectory(r.state)
         # Chunk truncation drops a tail of frames (len(timed) rounds down
@@ -895,12 +908,12 @@ def main():
         r.process_scans([(f.time_ns, payload(f), f.odom_pose7)
                          for f in timed[:chunk]])       # compile chunk shape
         timed = timed[chunk:]
-        jax.block_until_ready(r.state.traj_poses)
+        dsync(r)
         t0 = time.perf_counter()
         for k in range(0, len(timed), chunk):
             r.process_scans([(f.time_ns, payload(f), f.odom_pose7)
                              for f in timed[k:k + chunk]])
-        jax.block_until_ready(r.state.traj_poses)
+        dsync(r)
         return len(timed) / (time.perf_counter() - t0)
 
     if SMOKE:
@@ -1016,13 +1029,13 @@ def main():
         # policy as the chunk-shape compile above.
         r.warmup_closure_path()
         timed = timed[chunk:]
-        jax.block_until_ready(r.state.traj_poses)
+        dsync(r)
         t0 = time.perf_counter()
         for k in range(0, len(timed), chunk):
             r.process_scans([(f.time_ns, f.points, f.odom_pose7)
                              for f in timed[k:k + chunk]])
         r.flush_detections()
-        jax.block_until_ready(r.state.traj_poses)
+        dsync(r)
         rate = len(timed) / (time.perf_counter() - t0)
         traj = online.extract_trajectory(r.state)
         # Chunk truncation drops a tail of frames (len(timed) rounds down
@@ -1126,7 +1139,7 @@ def main():
                     track_id=t)
         n0 = MR_WARM + (chunk if chunk else 0)
         n_timed = ((MR_N - n0) // chunk * chunk if chunk else MR_N - n0)
-        jax.block_until_ready(r.state.traj_poses)
+        dsync(r)
         t0 = time.perf_counter()
         if chunk:
             for k in range(n0, n0 + n_timed, chunk):
@@ -1140,7 +1153,7 @@ def main():
                     f = mr_streams[t][i]
                     r.process_scan(f.time_ns + t, f.points, f.odom_pose7,
                                    track_id=t)
-        jax.block_until_ready(r.state.traj_poses)
+        dsync(r)
         rate = 2 * n_timed / (time.perf_counter() - t0)
         return rate, r
 
@@ -1171,7 +1184,7 @@ def main():
     r_mr.warmup_closure_path(use_association=True)
     t0 = time.perf_counter()
     assert r_mr.add_loop_closure(ka_mr, kb_mr, w_T_a_b)
-    jax.block_until_ready(r_mr.state.traj_poses)
+    np.asarray(r_mr.state.traj_poses)   # true completion (see dsync)
     extras['tpu_multirobot_link_closure_ms'] = round(
         (time.perf_counter() - t0) * 1e3, 1)
     # One strong refine pass absorbs the ~100 m correction (the closure
@@ -1290,7 +1303,7 @@ def main():
                                factor_capacity=8192)
     for f in frames_kitti[:6]:
         r_bd.process_scan(f.time_ns, f.points, f.odom_pose7)
-    jax.block_until_ready(r_bd.state.traj_poses)
+    np.asarray(r_bd.state.traj_poses)   # true completion (see dsync)
     r_bd.enable_packed_ingest(vs.HDL64_ELEV_DEG, azk)  # decode stage only
     extras['tpu_step_breakdown_ms'] = profiling.step_breakdown(
         r_bd, frames_kitti[6].points, frames_kitti[6].odom_pose7,
@@ -1309,7 +1322,7 @@ def main():
                                  factor_capacity=8192)
     for f in frames_16k[:6]:
         r_bd16.process_scan(f.time_ns, f.points, f.odom_pose7)
-    jax.block_until_ready(r_bd16.state.traj_poses)
+    np.asarray(r_bd16.state.traj_poses)   # true completion (see dsync)
     dms16 = profiling.full_step_device_ms(
         r_bd16, frames_16k[6].points, frames_16k[6].odom_pose7,
         reps=2 if SMOKE else 5)

@@ -61,7 +61,7 @@ def run(cfg, frames, n_warm, chunk):
         r.process_scans([(f.time_ns, f.points, f.odom_pose7)
                          for f in timed[:chunk]])
         timed = timed[chunk:]
-    jax.block_until_ready(r.state.traj_poses)
+    np.asarray(r.state.traj_poses)  # true sync (design.md trap #5)
     t0 = time.perf_counter()
     if chunk > 1:
         for i in range(0, len(timed), chunk):
@@ -70,7 +70,7 @@ def run(cfg, frames, n_warm, chunk):
     else:
         for f in timed:
             r.process_scan(f.time_ns, f.points, f.odom_pose7)
-    jax.block_until_ready(r.state.traj_poses)
+    np.asarray(r.state.traj_poses)  # true sync (design.md trap #5)
     rate = len(timed) / (time.perf_counter() - t0)
     traj = online.extract_trajectory(r.state)
     n_used = n_warm + (len(timed) + (chunk if chunk > 1 else 0))

@@ -53,7 +53,9 @@ def run(frames, cfg, with_pr: bool, chunk=8, n_warm=8):
     if with_pr:
         r.warmup_closure_path()
     timed = timed[chunk:]
-    jax.block_until_ready(r.state.traj_poses)
+    np.asarray(r.state.traj_poses)   # TRUE sync: block_until_ready can
+    # return before enqueued donated-state chunks execute (design.md
+    # trap #5) — a D2H fetch orders behind all pending work.
     bench_reg.enable()
     bench_reg.reset_topic()
     t0 = time.perf_counter()
@@ -62,7 +64,7 @@ def run(frames, cfg, with_pr: bool, chunk=8, n_warm=8):
                          for f in timed[k:k + chunk]])
     if with_pr:
         r.flush_detections()
-    jax.block_until_ready(r.state.traj_poses)
+    np.asarray(r.state.traj_poses)   # true completion
     dt = time.perf_counter() - t0
     rate = len(timed) / dt
     stats = dict(bench_reg.statistics())

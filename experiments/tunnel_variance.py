@@ -51,7 +51,7 @@ def main():
                                 factor_capacity=8192)
         for f in frames[:8]:
             r.process_scan(f.time_ns, f.points, f.odom_pose7)
-        jax.block_until_ready(r.state.traj_poses)
+        np.asarray(r.state.traj_poses)  # true sync (design.md trap #5)
         # (a) enqueue-only per-scan latencies (async dispatch cost)
         enq = []
         t0 = time.perf_counter()
@@ -59,7 +59,7 @@ def main():
             t1 = time.perf_counter()
             r.process_scan(f.time_ns, f.points, f.odom_pose7)
             enq.append(time.perf_counter() - t1)
-        jax.block_until_ready(r.state.traj_poses)
+        np.asarray(r.state.traj_poses)  # true sync (design.md trap #5)
         wall = time.perf_counter() - t0
         enq = np.array(enq) * 1e3
         print(f'rep{rep} per-scan: {len(enq)/wall:8.2f} scans/s  '
@@ -72,12 +72,12 @@ def main():
                                  factor_capacity=8192)
         for f in frames[:8]:
             r2.process_scan(f.time_ns, f.points, f.odom_pose7)
-        jax.block_until_ready(r2.state.traj_poses)
+        np.asarray(r2.state.traj_poses)  # true sync (design.md trap #5)
         lat = []
         for f in frames[8:40]:
             t1 = time.perf_counter()
             r2.process_scan(f.time_ns, f.points, f.odom_pose7)
-            jax.block_until_ready(r2.state.traj_poses)
+            np.asarray(r2.state.traj_poses)  # true sync (design.md trap #5)
             lat.append(time.perf_counter() - t1)
         lat = np.array(lat) * 1e3
         print(f'rep{rep} sync    : p50={np.percentile(lat,50):7.2f} ms '
@@ -93,13 +93,13 @@ def main():
         r3.process_scans([(f.time_ns, f.points, f.odom_pose7)
                           for f in timed[:8]])
         timed = timed[8:]
-        jax.block_until_ready(r3.state.traj_poses)
+        np.asarray(r3.state.traj_poses)  # true sync (design.md trap #5)
         lat = []
         for k in range(0, len(timed), 8):
             t1 = time.perf_counter()
             r3.process_scans([(f.time_ns, f.points, f.odom_pose7)
                               for f in timed[k:k + 8]])
-            jax.block_until_ready(r3.state.traj_poses)
+            np.asarray(r3.state.traj_poses)  # true sync (design.md trap #5)
             lat.append(time.perf_counter() - t1)
         lat = np.array(lat) * 1e3
         print(f'rep{rep} chunk8  : {8e3/np.median(lat):8.2f} scans/s  '

@@ -746,3 +746,57 @@ def test_online_marginal_covariances_cached_branch(rng):
     runner._solver_cache = fresh_cache
     covs_fresh = runner.marginal_covariances([0, 3, 6])
     np.testing.assert_allclose(covs_fresh, covs_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_multi_robot_link_absorbs_parked_offset(rng):
+    """Round-5 regression pin for the group pre-alignment
+    (online._apply_group_alignment): a cross-track linking closure must
+    absorb the forced-prior 100 m parking offset for the WHOLE absorbed
+    track, not just the closure pose.  Pre-fix, the solve satisfied the
+    closure factor but left the rest of the track rotated about it
+    (~28 m linked-map ATE at full scale on both backends,
+    experiments/multirobot_ate_probe.py) because with interleaved
+    multi-robot keys no track factor lands on the preconditioner's
+    chain and the track-global mode never converges."""
+    import dataclasses
+    import jax.numpy as jnp
+    from laser_slam_tpu.ops import se3
+
+    base = make_config()
+    lt = base.laser_track
+    cfg = dataclasses.replace(base, laser_track=dataclasses.replace(
+        lt, force_priors=True))
+    runner = online.OnlineRunner(cfg, pose_capacity=64,
+                                 factor_capacity=256, n_tracks=2)
+    n = 8
+    streams = [list(replay.SyntheticStream(
+        n_scans=n, points_per_scan=2048, trajectory='circle', radius_m=4.0,
+        noise_m=0.005, odom_noise=0.01, seed=60 + t)) for t in range(2)]
+    for i in range(n):
+        for t in range(2):
+            f = streams[t][i]
+            assert runner.process_scan(f.time_ns + t, f.points,
+                                       f.odom_pose7, track_id=t)
+    keys_of = [[k for k, (t, _) in enumerate(runner.key_info) if t == tid]
+               for tid in range(2)]
+    # Rendezvous at scan 3: same world, so gt relative pose links them.
+    ia, ib = 3, 3
+    ka, kb = keys_of[0][ia], keys_of[1][ib]
+    poses = online.extract_trajectory(runner.state)
+    gt = [np.stack([f.gt_pose7 for f in s]) for s in streams]
+    rel_true = se3.compose(se3.inverse(jnp.asarray(gt[0][ia])),
+                           jnp.asarray(gt[1][ib]))
+    w_T_a_b = np.asarray(se3.compose(
+        jnp.asarray(poses[ka]),
+        se3.compose(rel_true, se3.inverse(jnp.asarray(poses[kb])))))
+    assert runner.add_loop_closure(ka, kb, w_T_a_b)
+    p2 = online.extract_trajectory(runner.state)
+    # EVERY absorbed-track pose must land at its expected place in the
+    # shared frame (anchored at track 0's closure pose) — not just kb.
+    Ta = jnp.asarray(p2[ka])
+    errs = []
+    for j, kbj in enumerate(keys_of[1]):
+        exp = se3.compose(Ta, se3.compose(
+            se3.inverse(jnp.asarray(gt[0][ia])), jnp.asarray(gt[1][j])))
+        errs.append(np.linalg.norm(np.asarray(exp)[4:] - p2[kbj][4:]))
+    assert max(errs) < 1.0, errs
